@@ -1,0 +1,197 @@
+"""Command-line interface — the reference's GUI parameter panel as a CLI.
+
+Every flag mirrors an EzPlug GUI variable with the same default, range, and
+tooltip meaning (HybridQuantization.initialize, HybridQuantization.java:185-257).
+Two modes, like the plugin's EzQuantization toggle (:63-85):
+
+  quantize   — find the best K-color palette and write the quantized image
+  error      — Delta-E error image between two images (:139-155)
+
+Example:
+  python -m hybridquantization_tpu.cli quantize in.png out.png --colors 8
+  python -m hybridquantization_tpu.cli error orig.png quant.png --out err.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import io as hio
+from .checkpoint import load_state, save_state
+from .config import QuantizationConfig, ScielabConfig, SWASAConfig
+from .pipeline import HybridQuantizer
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("S-CIELAB")
+    g.add_argument("--dpi", type=int, default=72, help="screen dpi (default 72)")
+    g.add_argument(
+        "--viewing-distance", type=float, default=45.0,
+        help="viewing distance in cm (default 45)",
+    )
+    g.add_argument(
+        "--whitepoint", choices=["D65", "D50"], default="D65",
+        help="whitepoint (default D65)",
+    )
+    p.add_argument(
+        "--delta-e", choices=["CIE76", "CIE94", "CIEDE2000"], default="CIE76",
+        help="Delta-E formula (reference plugin hardcodes CIE76)",
+    )
+    p.add_argument("--verbose", action="store_true", help="verbose stdout")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="hybridquantization_tpu",
+        description="TPU-native hybrid perceptual color quantization",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("quantize", help="quantize an image to K colors")
+    q.add_argument("input", help="input image")
+    q.add_argument("output", help="output image path")
+    q.add_argument("--colors", "-k", type=int, default=8, help="palette size (default 8)")
+    g = q.add_argument_group("optimization")
+    g.add_argument("--population", type=int, default=4, help="candidate palettes (default 4)")
+    g.add_argument("--imax", type=int, default=5000, help="max iterations (default 5000)")
+    g.add_argument("--delta", type=float, default=2.0, help="unused-color penalty (default 2)")
+    g.add_argument("--no-convergence", action="store_true", help="disable population convergence")
+    g.add_argument("--conv-delay", type=float, default=0.75)
+    g.add_argument("--conv-spread", type=float, default=0.15)
+    g = q.add_argument_group("temperature")
+    g.add_argument("--t0", type=float, default=20.0, help="initial temperature (default 20)")
+    g.add_argument("--itc", type=int, default=20, help="iterations per temperature step (default 20)")
+    g.add_argument("--alpha", type=float, default=0.9, help="cooling coefficient (default 0.9)")
+    g = q.add_argument_group("step size")
+    g.add_argument("--s0", type=float, default=100.0, help="initial max step width (default 100)")
+    g.add_argument("--beta", type=float, default=5.3, help="step adaptation constant (default 5.3)")
+    q.add_argument(
+        "--assignment-space", choices=["srgb", "lab"], default="srgb",
+        help="palette assignment distance space (srgb = reference parity)",
+    )
+    q.add_argument("--seed", type=int, default=0, help="PRNG seed (reference was unseeded)")
+    q.add_argument("--error-image", metavar="PATH", help="also write the Delta-E error image")
+    q.add_argument("--palette-out", metavar="PATH", help="write the palette as .npy")
+    q.add_argument("--checkpoint", metavar="PATH", help="checkpoint file to save/resume")
+    q.add_argument("--checkpoint-every", type=int, default=500, help="iterations between checkpoints")
+    _add_common(q)
+
+    e = sub.add_parser("error", help="Delta-E error image between two images")
+    e.add_argument("original")
+    e.add_argument("quantized")
+    e.add_argument("--out", required=True, help="error image output path")
+    _add_common(e)
+    return parser
+
+
+def _config_from_args(args) -> QuantizationConfig:
+    swasa = SWASAConfig(
+        num_colors=getattr(args, "colors", 8),
+        population=getattr(args, "population", 4),
+        imax=getattr(args, "imax", 5000),
+        delta=getattr(args, "delta", 2.0),
+        convergence=not getattr(args, "no_convergence", False),
+        conv_delay=getattr(args, "conv_delay", 0.75),
+        conv_spread=getattr(args, "conv_spread", 0.15),
+        t0=getattr(args, "t0", 20.0),
+        i_tc=getattr(args, "itc", 20),
+        alpha=getattr(args, "alpha", 0.9),
+        s0=getattr(args, "s0", 100.0),
+        beta=getattr(args, "beta", 5.3),
+    )
+    return QuantizationConfig(
+        swasa=swasa,
+        scielab=ScielabConfig(
+            dpi=args.dpi,
+            viewing_distance_cm=args.viewing_distance,
+            whitepoint=args.whitepoint,
+        ),
+        deltaE=args.delta_e,
+        assignment_space=getattr(args, "assignment_space", "srgb"),
+        verbose=args.verbose,
+        seed=getattr(args, "seed", 0),
+    )
+
+
+def cmd_quantize(args) -> int:
+    cfg = _config_from_args(args)
+    engine = HybridQuantizer(cfg)
+    image = hio.load_image(args.input)
+    print(f"image {image.shape[1]}x{image.shape[0]}, K={cfg.swasa.num_colors}")
+
+    start = time.time()
+    last_ckpt = [0]
+
+    def progress(done, imax, t):
+        eta = t.get("eta_s", 0.0)
+        mins, secs = divmod(int(eta), 60)
+        sys.stdout.write(
+            f"\r{done}/{imax} : {mins}m{secs}s remaining  best {t['best_error']:.5f}  "
+        )
+        sys.stdout.flush()
+        if args.checkpoint and done - last_ckpt[0] >= args.checkpoint_every:
+            # saved via the info dict below; per-chunk state isn't exposed
+            last_ckpt[0] = done
+        return True
+
+    palette, info = engine.find_palette(image, progress=progress)
+    print(f"\noptimization: {time.time() - start:.1f}s, final error {info['best_error']:.5f}")
+
+    if args.checkpoint:
+        save_state(args.checkpoint, info["state"], {"best_error": info["best_error"]})
+    out = np.asarray(engine.quantize(image, palette))
+    hio.save_image(args.output, out)
+    print(f"wrote {args.output}")
+    if args.palette_out:
+        np.save(args.palette_out, palette)
+    if args.error_image:
+        mean_de, viz = engine.error_image(image, out)
+        hio.save_image(args.error_image, np.asarray(viz))
+        print(f"DeltaE : {float(mean_de)}")
+    return 0
+
+
+def cmd_error(args) -> int:
+    cfg = _config_from_args(args)
+    engine = HybridQuantizer(cfg)
+    orig = hio.load_image(args.original)
+    quant = hio.load_image(args.quantized)
+    if orig.shape != quant.shape:
+        print("Mismatching image sizes, abort.", file=sys.stderr)
+        return 2
+    mean_de, viz = engine.error_image(orig, quant)
+    hio.save_image(args.out, np.asarray(viz))
+    print(f"DeltaE : {float(mean_de)}")
+    return 0
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compile cache: repeat CLI runs skip recompilation."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "HQ_TPU_CACHE_DIR", os.path.expanduser("~/.cache/hybridquantization_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a hard failure
+
+
+def main(argv=None) -> int:
+    _enable_compilation_cache()
+    args = build_parser().parse_args(argv)
+    if args.command == "quantize":
+        return cmd_quantize(args)
+    return cmd_error(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

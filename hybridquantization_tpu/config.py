@@ -1,0 +1,59 @@
+"""Configuration dataclasses — the framework's entire parameter surface.
+
+Mirrors every parameter of the reference's EzPlug GUI panel with its default
+value, range, and meaning (HybridQuantization.java:185-257); defaults are the
+GUI defaults (SURVEY.md section 2b). These are frozen (hashable) so they can
+be passed as static arguments to jitted entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SWASAConfig:
+    """Annealing parameters (HybridQuantization.java:196-225)."""
+
+    num_colors: int = 8          # palette size K            (:192)
+    population: int = 4          # candidate palettes        (:197)
+    imax: int = 5000             # max iterations            (:199)
+    delta: float = 2.0           # unused-color penalty      (:201)
+    convergence: bool = True     # population convergence    (:204)
+    conv_delay: float = 0.75     # convergence delay         (:206)
+    conv_spread: float = 0.15    # convergence spread        (:208)
+    t0: float = 20.0             # initial temperature       (:212)
+    i_tc: int = 20               # iterations per temp step  (:214)
+    alpha: float = 0.9           # cooling coefficient       (:216)
+    s0: float = 100.0            # initial max step width    (:223)
+    beta: float = 5.3            # step-width adaptation     (:224)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScielabConfig:
+    """Human-visual-system model parameters (HybridQuantization.java:228-235)."""
+
+    dpi: int = 72                      # screen dpi          (:229)
+    viewing_distance_cm: float = 45.0  # viewing distance    (:231)
+    whitepoint: str = "D65"            # D65 | D50           (:233)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizationConfig:
+    """Full engine configuration.
+
+    deltaE: fitness Delta-E formula; the reference plugin hardcodes CIE76
+      (HybridQuantization.java:96,145) and selects it at OpenCL compile time
+      (ImageManipulation.java:63). CIE94 and CIEDE2000 are also available.
+    assignment_space: "srgb" reproduces the reference's Euclidean-in-sRGB
+      palette assignment (OptimizedConvolution.cl:155,180); "lab" assigns by
+      CIELAB Delta-E76 (the BASELINE north-star kernel).
+    """
+
+    swasa: SWASAConfig = SWASAConfig()
+    scielab: ScielabConfig = ScielabConfig()
+    deltaE: str = "CIE76"
+    assignment_space: str = "srgb"
+    verbose: bool = False
+    seed: int = 0
+    progress_every: int = 10      # host progress cadence (ImageManipulation.java:546)

@@ -1,0 +1,103 @@
+"""Nearest-palette assignment.
+
+jnp/XLA implementation (the Pallas fused kernel lives in
+`ops.pallas_assign`). TPU-first design: the K-way nearest-neighbor search is
+expressed as one matmul on the MXU via the expansion
+
+    ||p - c_k||^2 = ||p||^2 - 2 p.c_k + ||c_k||^2
+    argmin_k ||p - c_k||^2 = argmax_k (2 p.c_k - ||c_k||^2)
+
+so the (P, K) score matrix is `2 * pixels @ palette.T` minus a per-palette
+bias — a (P, 3) x (3, K) matmul. Pixels are processed in blocks so the score
+matrix never materializes in HBM for large images.
+
+Reference parity: the reference assigns by Euclidean distance in *nonlinear
+sRGB* space (quantize / quantizeAndConvertToOpp kernels,
+OptimizedConvolution.cl:147-199) with first-minimum tie-breaking; the
+perceptual model only enters through the fitness. The BASELINE north star
+additionally asks for Delta-E (LAB-space) assignment; both are supported by
+passing pixel/palette features in the desired space.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _scores(pixels: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """(P, K) matmul scores whose argmax == nearest-palette argmin."""
+    dots = jax.lax.dot_general(
+        pixels,
+        palette,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return 2.0 * dots - jnp.sum(palette * palette, axis=-1)[None, :]
+
+
+def nearest_palette(
+    pixels: jnp.ndarray,
+    palette: jnp.ndarray,
+    *,
+    block_size: int = 1 << 16,
+) -> jnp.ndarray:
+    """Index of the nearest palette entry for every pixel.
+
+    Args:
+      pixels: (P, F) pixel features (F = 3).
+      palette: (K, F) palette features in the same space.
+      block_size: pixels per block; the (block, K) score tile stays on-chip.
+
+    Returns:
+      (P,) int32 indices. Ties resolve to the first (lowest) index, matching
+      the reference's strict-less scan (OptimizedConvolution.cl:158-167).
+    """
+    P = pixels.shape[0]
+    if P <= block_size:
+        return jnp.argmax(_scores(pixels, palette), axis=-1).astype(jnp.int32)
+
+    pad = (-P) % block_size
+    padded = jnp.pad(pixels, ((0, pad), (0, 0)))
+    blocks = padded.reshape(-1, block_size, pixels.shape[1])
+
+    def one(block):
+        return jnp.argmax(_scores(block, palette), axis=-1).astype(jnp.int32)
+
+    idx = jax.lax.map(one, blocks).reshape(-1)
+    return idx[:P]
+
+
+def palette_usage(idx: jnp.ndarray, num_colors: int) -> jnp.ndarray:
+    """(K,) bool — whether any pixel selected each palette entry.
+
+    TPU-native equivalent of the reference's benign-race `usedColors[i] = 1`
+    device writes (OptimizedConvolution.cl:169,193): a scatter-OR.
+    """
+    return (
+        jnp.zeros((num_colors,), jnp.bool_).at[idx].set(True, mode="drop")
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def assign_with_usage(
+    pixels: jnp.ndarray,
+    palette: jnp.ndarray,
+    *,
+    block_size: int = 1 << 16,
+):
+    """(indices, usage) in one call."""
+    idx = nearest_palette(pixels, palette, block_size=block_size)
+    return idx, palette_usage(idx, palette.shape[0])
+
+
+def quantize_image(image_hwc: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """Replace each pixel by its nearest palette color (same feature space).
+
+    Mirrors the final `quantize` device pass (ImageManipulation.java:770-798).
+    """
+    H, W, F = image_hwc.shape
+    idx = nearest_palette(image_hwc.reshape(-1, F), palette)
+    return palette[idx].reshape(H, W, F)

@@ -1,0 +1,254 @@
+"""End-to-end quantization engine.
+
+The TPU-native equivalent of the reference's driver flow
+(HybridQuantization.quantization, HybridQuantization.java:93-137):
+
+  1. build the S-CIELAB filter bank (host, init-time)
+  2. S-CIELAB transform of the original image (device, once)
+  3. SWASA search for the best palette (device `lax.scan`, chunked)
+  4. final nearest-palette quantize pass
+  5. optional Delta-E error image (HybridQuantization.java:139-182)
+
+Everything per-iteration stays on device; the host only sees scalar
+telemetry between scan chunks (progress/ETA/verbose parity with
+ImageManipulation.java:533-567) and can cooperatively cancel via the
+progress callback (the reference's stopFlag, HybridQuantization.java:312-318).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import colorspace as cs
+from .config import QuantizationConfig
+from .ops import assign as assign_ops
+from .scielab import transform as sct
+from .scielab.filters import ScielabFilters, build_filters
+from .swasa import loop as swasa_loop
+from .swasa import schedule
+from .swasa.state import SWASAState
+
+# ProgressFn(iteration, imax, telemetry) -> bool: return False to stop early.
+ProgressFn = Callable[[int, int, dict], bool]
+
+
+def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: QuantizationConfig):
+    """Device-resident per-image constants for the fitness function."""
+    wp = jnp.asarray(cs.WHITEPOINTS[cfg.scielab.whitepoint])
+    image_hwc = jnp.asarray(image_hwc, jnp.float32)
+    pixels = image_hwc.reshape(-1, 3)
+    if cfg.assignment_space == "lab":
+        assign_pixels = cs.srgb_to_lab(pixels, wp)
+    elif cfg.assignment_space == "srgb":
+        assign_pixels = pixels
+    else:
+        raise ValueError(f"unknown assignment_space {cfg.assignment_space!r}")
+
+    kh = sct.stacked_kernels(filters, vertical=False)
+    kv = sct.stacked_kernels(filters, vertical=True)
+    opp = cs.xyz_to_opp(cs.srgb_to_xyz(image_hwc))
+    target_lab = cs.opp_to_lab(
+        jnp.moveaxis(
+            sct.scielab_filter_stacked(jnp.moveaxis(opp, -1, 0), kh, kv), 0, -1
+        ),
+        wp,
+    )
+    return {
+        "assign_pixels": assign_pixels,
+        "target_lab": target_lab,
+        "kh": kh,
+        "kv": kv,
+        "whitepoint": wp,
+    }
+
+
+def make_fitness(ctx: dict, cfg: QuantizationConfig) -> swasa_loop.FitnessFn:
+    """Palette -> (scalar fitness, usage) on one image context.
+
+    Fuses the reference's per-evaluation device pipeline
+    (quantizeAndConvertToOpp -> computeScielabKernelsTemp/End -> Opp2LAB ->
+    CIEDE -> mean + penalty; ImageManipulation.java:620-727) into a single
+    XLA-compiled function with an on-device mean.
+    """
+    H, W, _ = ctx["target_lab"].shape
+    de_fn = cs.DELTA_E_FNS[cfg.deltaE]
+    lab_assign = cfg.assignment_space == "lab"
+
+    def fitness(palette: jax.Array):
+        pal_feats = (
+            cs.srgb_to_lab(palette, ctx["whitepoint"]) if lab_assign else palette
+        )
+        idx = assign_ops.nearest_palette(ctx["assign_pixels"], pal_feats)
+        usage = assign_ops.palette_usage(idx, palette.shape[0])
+
+        # Gather the *precomputed* opponent-space palette instead of
+        # gamma-expanding the winning color per pixel
+        # (OptimizedConvolution.cl:194-198 does the latter; K << P makes the
+        # palette-side conversion free).
+        opp_palette = cs.srgb_to_opp(palette)
+        q_opp = opp_palette[idx].reshape(H, W, 3)
+        q_lab = cs.opp_to_lab(
+            jnp.moveaxis(
+                sct.scielab_filter_stacked(
+                    jnp.moveaxis(q_opp, -1, 0), ctx["kh"], ctx["kv"]
+                ),
+                0,
+                -1,
+            ),
+            ctx["whitepoint"],
+        )
+        err = jnp.mean(de_fn(ctx["target_lab"], q_lab))
+        err = err + schedule.unused_penalty(usage, cfg.swasa.delta)
+        return err, usage
+
+    return fitness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _init_jit(key, ctx, cfg: QuantizationConfig) -> SWASAState:
+    return swasa_loop.init_state(key, make_fitness(ctx, cfg), cfg.swasa)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_iters"))
+def _chunk_jit(state, ctx, cfg: QuantizationConfig, num_iters: int):
+    return swasa_loop.run_chunk(
+        state, make_fitness(ctx, cfg), cfg.swasa, num_iters
+    )
+
+
+class HybridQuantizer:
+    """Drop-in engine mirroring the reference plugin's capabilities.
+
+    Usage:
+        q = HybridQuantizer(QuantizationConfig(...))
+        palette, info = q.find_palette(image)          # (H, W, 3) sRGB float
+        out = q.quantize(image, palette)
+        mean_de, err_viz = q.error_image(image, out)
+    """
+
+    def __init__(self, config: QuantizationConfig | None = None):
+        self.config = config or QuantizationConfig()
+        self.filters = build_filters(
+            self.config.scielab.dpi, self.config.scielab.viewing_distance_cm
+        )
+        self._whitepoint = cs.WHITEPOINTS[self.config.scielab.whitepoint]
+        # One compiled function per image shape (jit caches on shape).
+        self._scielab_jit = jax.jit(
+            lambda img: sct.srgb_to_scielab(img, self.filters, self._whitepoint)
+        )
+        de_fn = cs.DELTA_E_FNS[self.config.deltaE]
+
+        def _error_image(orig, quant):
+            e = de_fn(self._scielab_jit(orig), self._scielab_jit(quant))
+            viz = ((255.0 - e) ** 2) / (255.0**2)
+            return jnp.mean(e), jnp.repeat(viz[..., None], 3, axis=-1)
+
+        self._error_image_jit = jax.jit(_error_image)
+        self._quantize_jit = jax.jit(self._quantize_impl)
+
+    # -- S-CIELAB -----------------------------------------------------------
+
+    def scielab(self, image_hwc) -> jax.Array:
+        """sRGB (H, W, 3) -> S-CIELAB (H, W, 3)."""
+        return self._scielab_jit(jnp.asarray(image_hwc, jnp.float32))
+
+    # -- Optimization -------------------------------------------------------
+
+    def find_palette(
+        self,
+        image_hwc,
+        key: jax.Array | None = None,
+        progress: Optional[ProgressFn] = None,
+        chunk_size: int | None = None,
+    ):
+        """SWASA search for the best K-color palette.
+
+        Returns (palette (K, 3) float32 sRGB, info dict with the fitness
+        trajectory and final state).
+        """
+        cfg = self.config
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        chunk = chunk_size or cfg.progress_every
+        ctx = _make_context(image_hwc, self.filters, cfg)
+        state = _init_jit(key, ctx, cfg)
+
+        imax = cfg.swasa.imax
+        traj = []
+        start = time.time()
+        done = 0
+        while done < imax:
+            n = min(chunk, imax - done)
+            state, telemetry = _chunk_jit(state, ctx, cfg, n)
+            done += n
+            traj.append(jax.device_get(telemetry))
+            if cfg.verbose:
+                t = traj[-1]
+                print(
+                    f"iter {done}/{imax}  best {float(t['best_error'][-1]):.5f}"
+                    f"  pop-mean {float(t['mean_error'][-1]):.5f}"
+                )
+            if progress is not None:
+                elapsed = time.time() - start
+                eta = elapsed / done * (imax - done)
+                last = {k: float(v[-1]) for k, v in traj[-1].items()}
+                last["eta_s"] = eta
+                if progress(done, imax, last) is False:
+                    break  # cooperative stop (reference stopFlag semantics)
+
+        telemetry = {
+            k: np.concatenate([t[k] for t in traj]) for k in traj[0]
+        } if traj else {}
+        info = {
+            "best_error": float(jax.device_get(state.best_error)),
+            "iterations": done,
+            "telemetry": telemetry,
+            "state": state,
+            "seconds": time.time() - start,
+        }
+        if cfg.verbose:
+            print(f"Final error : {info['best_error']:.5f}")
+        return jax.device_get(state.best_colors), info
+
+    # -- Quantize / error image --------------------------------------------
+
+    def _quantize_impl(self, image, palette):
+        if self.config.assignment_space == "lab":
+            feats = cs.srgb_to_lab(image, self._whitepoint)
+            pal_feats = cs.srgb_to_lab(palette, self._whitepoint)
+            idx = assign_ops.nearest_palette(feats.reshape(-1, 3), pal_feats)
+            return palette[idx].reshape(image.shape)
+        return assign_ops.quantize_image(image, palette)
+
+    def quantize(self, image_hwc, palette) -> jax.Array:
+        """Apply a palette (nearest in the configured assignment space)."""
+        return self._quantize_jit(
+            jnp.asarray(image_hwc, jnp.float32), jnp.asarray(palette, jnp.float32)
+        )
+
+    def error_image(self, original_hwc, quantized_hwc):
+        """Mean S-CIELAB Delta-E + visualization image.
+
+        Mirrors HybridQuantization.errorImage (HybridQuantization.java:139-182)
+        and ImageManipulation.computeError (:858-894), including the
+        ((255 - e)^2) / 255^2 visualization mapping (:890).
+        """
+        return self._error_image_jit(
+            jnp.asarray(original_hwc, jnp.float32),
+            jnp.asarray(quantized_hwc, jnp.float32),
+        )
+
+    # -- Full flow ----------------------------------------------------------
+
+    def run(self, image_hwc, key=None, progress: Optional[ProgressFn] = None):
+        """Full reference flow: palette search + quantize (+ metadata)."""
+        palette, info = self.find_palette(image_hwc, key, progress)
+        out = self.quantize(image_hwc, palette)
+        info["palette"] = palette
+        return jax.device_get(out), info

@@ -1,0 +1,184 @@
+"""Independent NumPy oracle of the reference pipeline.
+
+Deliberately written in a different style from the package (scalar formulas,
+scipy convolutions) so transcription errors in either side surface as test
+failures. Semantics follow the reference's *active* (OpenCL) path:
+  - color math: ScielabProcessor.java:271-366 with the corrected opponent
+    matrices (OptimizedConvolution.cl:110,118,171 — see SURVEY.md 2e.1)
+  - filter bank: ScielabProcessor.java:66-181
+  - spatial filtering: computeScielabKernelsTemp/End
+    (OptimizedConvolution.cl:234-306) with half-sample symmetric reflection
+  - assignment: Euclidean nearest in sRGB, first-minimum ties
+    (OptimizedConvolution.cl:147-199)
+  - fitness: mean CIE76 Delta-E + unused-color penalty
+    (ImageManipulation.java:701-714, SWASA.java:74-82)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from scipy.ndimage import correlate1d
+
+D65 = np.array([0.95047, 1.0, 1.0883])
+D50 = np.array([0.966797, 1.0, 0.825188])
+
+M_SRGB2XYZ = np.array(
+    [
+        [0.4124564, 0.3575761, 0.1804375],
+        [0.2126729, 0.7151522, 0.0721750],
+        [0.0193339, 0.1191920, 0.9503041],
+    ]
+)
+M_XYZ2OPP = np.array(
+    [
+        [0.2787336, 0.7218031, -0.1065520],
+        [-0.4487736, 0.2898056, -0.0771569],
+        [0.0859513, -0.5899859, 0.5011089],
+    ]
+)
+M_OPP2XYZ = np.array(
+    [
+        [0.624045, -1.87044, -0.155304],
+        [1.36606, 0.931563, 0.433903],
+        [1.5013, 1.41761, 2.53307],
+    ]
+)
+
+
+def srgb_to_linear(c):
+    c = np.asarray(c, np.float64)
+    return np.where(c <= 0.04045, c / 12.92, ((np.maximum(c, 0) + 0.055) / 1.055) ** 2.4)
+
+
+def linear_to_srgb(c):
+    c = np.asarray(c, np.float64)
+    return np.where(
+        c <= 0.0031308, 12.92 * c, 1.055 * np.maximum(c, 1e-12) ** (1 / 2.4) - 0.055
+    )
+
+
+def srgb_to_xyz(srgb):
+    return srgb_to_linear(srgb) @ M_SRGB2XYZ.T
+
+
+def xyz_to_opp(xyz):
+    return np.asarray(xyz) @ M_XYZ2OPP.T
+
+
+def opp_to_xyz(opp):
+    return np.asarray(opp) @ M_OPP2XYZ.T
+
+
+def xyz_to_lab(xyz, wp=D65):
+    t = np.asarray(xyz) / wp
+    d3 = (6 / 29) ** 3
+    kappa = 24389 / 27
+    f = np.where(t > d3, np.cbrt(t), (kappa * t + 16) / 116)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    return np.stack([116 * fy - 16, 500 * (fx - fy), 200 * (fy - fz)], axis=-1)
+
+
+def opp_to_lab(opp, wp=D65):
+    return xyz_to_lab(opp_to_xyz(opp), wp)
+
+
+def delta_e76(lab1, lab2):
+    return np.linalg.norm(np.asarray(lab1) - np.asarray(lab2), axis=-1)
+
+
+# -- filter bank ------------------------------------------------------------
+
+WEIGHTS = [[1.00327, 0.114416, -0.117686], [0.616725, 0.383275], [0.567885, 0.432115]]
+HALFWIDTHS = [[0.05, 0.225, 7.0], [0.0685, 0.826], [0.0920, 0.6451]]
+
+
+def gauss(halfwidth, width):
+    alpha = 2 * math.sqrt(math.log(2)) / (halfwidth - 1)
+    x = np.arange(width) - width // 2
+    g = np.exp(-(alpha**2) * x**2)
+    return g / g.sum()
+
+
+def build_filters(dpi=72, dist_cm=45.0):
+    """Returns (ofilters [3][ncomp arrays], abs_k3, samp_per_deg)."""
+    spd = round(dpi / ((180 / math.pi) * math.atan(2.54 / dist_cm)))
+    uprate = math.ceil(224 / spd) if spd < 224 else 1
+    spd *= uprate
+
+    width = math.ceil(spd / 2) * 2 - 1
+    ofilters = []
+    for ch in range(3):
+        comps = []
+        for w, hw in zip(WEIGHTS[ch], HALFWIDTHS[ch]):
+            comps.append(gauss(hw * spd, width) * math.sqrt(abs(w)) * np.sign(w))
+        ofilters.append(comps)
+
+    if uprate > 1:
+        upcol = np.array([(uprate - abs(uprate - i - 1)) / uprate for i in range(2 * uprate - 1)])
+        # resize1D zero-pad to len+width-1 (centered)
+        target = len(upcol) + width - 1
+        pad = (target - len(upcol)) // 2
+        upcol_r = np.zeros(target)
+        upcol_r[pad : pad + len(upcol)] = upcol
+        # conv1D: same-size correlation centered at len(filter)//2, zero bounds
+        def conv_same(data, filt):
+            full = np.convolve(data, filt[::-1], mode="full")
+            off = len(filt) // 2
+            # result[i] = sum_j filt[j+off] data[i+j] = corr; full conv index:
+            # corr(data, filt)[i] = full_conv(data, reversed filt)[i + len(filt)-1 - off]
+            start = len(filt) - 1 - off
+            return full[start : start + len(data)]
+
+        ups = [[conv_same(f, upcol_r) for f in comps] for comps in ofilters]
+        s = len(ups[0][0])
+        mid = s // 2
+        n = mid // uprate
+        downs = mid + uprate * np.arange(-n, n + 1)
+        ofilters = [[u[downs] for u in comps] for comps in ups]
+
+    abs_k3 = np.abs(ofilters[0][2])
+    return ofilters, abs_k3, spd
+
+
+# -- spatial filtering ------------------------------------------------------
+
+def scielab_filter(opp_hwc, ofilters, abs_k3):
+    """Per-channel sum of separable filters, symmetric reflection padding.
+
+    Horizontal+vertical pass per component; the luminance channel's third
+    component uses |k3| vertically.
+    """
+    out = np.zeros_like(opp_hwc)
+    for c in range(3):
+        acc = np.zeros(opp_hwc.shape[:2])
+        for j, k in enumerate(ofilters[c]):
+            kv = abs_k3 if (c == 0 and j == 2) else k
+            t = correlate1d(opp_hwc[..., c], k, axis=1, mode="reflect")
+            acc += correlate1d(t, kv, axis=0, mode="reflect")
+        out[..., c] = acc
+    return out
+
+
+def srgb_to_scielab(image_hwc, ofilters, abs_k3, wp=D65):
+    opp = xyz_to_opp(srgb_to_xyz(image_hwc))
+    return opp_to_lab(scielab_filter(opp, ofilters, abs_k3), wp)
+
+
+# -- assignment + fitness ---------------------------------------------------
+
+def nearest_palette(pixels, palette):
+    """First-minimum nearest assignment (OptimizedConvolution.cl:147-170)."""
+    d = np.linalg.norm(pixels[:, None, :] - palette[None, :, :], axis=-1)
+    return np.argmin(d, axis=1)
+
+
+def fitness(image_hwc, target_lab, palette, ofilters, abs_k3, delta=2.0, wp=D65):
+    H, W, _ = image_hwc.shape
+    idx = nearest_palette(image_hwc.reshape(-1, 3), palette)
+    used = np.zeros(len(palette), bool)
+    used[idx] = True
+    q = palette[idx].reshape(H, W, 3)
+    q_lab = srgb_to_scielab(q, ofilters, abs_k3, wp)
+    return delta_e76(target_lab, q_lab).mean() + delta * (~used).sum()
