@@ -86,6 +86,23 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("quantized")
     e.add_argument("--out", required=True, help="error image output path")
     _add_common(e)
+
+    b = sub.add_parser(
+        "quantize-batch",
+        help="quantize many images across a device mesh (mixed resolutions ok)",
+    )
+    b.add_argument("inputs", nargs="+", help="input images")
+    b.add_argument("--out-dir", required=True, help="output directory")
+    b.add_argument("--colors", "-k", type=int, default=256)
+    b.add_argument("--imax", type=int, default=500)
+    b.add_argument("--population", type=int, default=4)
+    b.add_argument("--mesh-data", type=int, default=1, help="data-parallel mesh axis")
+    b.add_argument("--mesh-pixel", type=int, default=0, help="pixel mesh axis (0 = rest)")
+    b.add_argument(
+        "--assignment-space", choices=["srgb", "lab"], default="srgb"
+    )
+    b.add_argument("--seed", type=int, default=0)
+    _add_common(b)
     return parser
 
 
@@ -185,11 +202,64 @@ def _enable_compilation_cache() -> None:
         pass  # cache is an optimization, never a hard failure
 
 
+def cmd_quantize_batch(args) -> int:
+    import os as _os
+
+    from . import native
+    from .batching import run_bucketed
+    from .parallel import ShardedBatchQuantizer, make_mesh
+
+    cfg = _config_from_args(args)
+    # Batch runs scale imax/population via dedicated flags.
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(
+            num_colors=args.colors,
+            population=args.population,
+            imax=args.imax,
+        ),
+        scielab=cfg.scielab,
+        deltaE=cfg.deltaE,
+        assignment_space=args.assignment_space,
+        verbose=args.verbose,
+        seed=args.seed,
+    )
+    mesh = make_mesh(args.mesh_data, args.mesh_pixel or None)
+    engine = ShardedBatchQuantizer(cfg, mesh)
+    print(
+        f"mesh {engine.n_data}x{engine.n_pixel}, {len(args.inputs)} images, "
+        f"K={args.colors}"
+    )
+
+    images = [native.load_image(p) for p in args.inputs]
+    _os.makedirs(args.out_dir, exist_ok=True)
+
+    def run_batch(stack):
+        out, info = engine.run(stack)
+        return out, info["best_errors"], info["palettes"]
+
+    t0 = time.time()
+    results = run_bucketed(images, run_batch, n_data=engine.n_data)
+    dt = time.time() - t0
+    total_pix = sum(im.shape[0] * im.shape[1] for im in images)
+    for path, (out, err, palette) in zip(args.inputs, results):
+        name = _os.path.splitext(_os.path.basename(path))[0]
+        dest = _os.path.join(args.out_dir, f"{name}_q{args.colors}.png")
+        hio.save_image(dest, out)
+        print(f"{dest}  error={float(err):.4f}")
+    print(
+        f"batch done: {dt:.1f}s, {total_pix / 1e6:.1f} Mpix, "
+        f"{total_pix * args.imax * args.population / dt / 1e6:.0f} Mpix-evals/s"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.command == "quantize":
         return cmd_quantize(args)
+    if args.command == "quantize-batch":
+        return cmd_quantize_batch(args)
     return cmd_error(args)
 
 

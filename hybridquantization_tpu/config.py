@@ -57,3 +57,4 @@ class QuantizationConfig:
     verbose: bool = False
     seed: int = 0
     progress_every: int = 10      # host progress cadence (ImageManipulation.java:546)
+    use_pallas: str = "auto"      # "auto" (TPU only) | "on" | "off"

@@ -28,11 +28,18 @@ import jax.numpy as jnp
 
 
 def _scores(pixels: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
-    """(P, K) matmul scores whose argmax == nearest-palette argmin."""
+    """(P, K) matmul scores whose argmax == nearest-palette argmin.
+
+    Precision HIGHEST keeps the distance comparison in true f32 — the TPU
+    default would run the MXU in bf16, which can flip assignments between
+    nearby palette colors (the reference computes f32 distances,
+    OptimizedConvolution.cl:155).
+    """
     dots = jax.lax.dot_general(
         pixels,
         palette,
         dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     return 2.0 * dots - jnp.sum(palette * palette, axis=-1)[None, :]

@@ -54,6 +54,9 @@ def conv1d_symmetric(x: jnp.ndarray, kernels: jnp.ndarray, axis: int) -> jnp.nda
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=C,
+        # True f32 taps: the TPU default would drop the conv to bf16, which
+        # breaks 1%-parity with the reference's f32 pipeline.
+        precision=lax.Precision.HIGHEST,
     )
     return out[0]
 

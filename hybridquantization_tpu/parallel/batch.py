@@ -1,0 +1,114 @@
+"""Batched multi-image quantization over a device mesh.
+
+The scale-out driver for BASELINE configs 4-5: a batch of images, each
+annealed to its own K-color palette, images data-parallel over the "data"
+mesh axis and pixels row-sharded over "pixel". The reference processes one
+image at a time in a GUI (HybridQuantization.java:93-137); this is the
+production-batch equivalent.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import QuantizationConfig
+from ..scielab.filters import build_filters
+from .mesh import DATA_AXIS, PIXEL_AXIS, make_mesh
+from .sharded import build_sharded_fns
+
+
+class ShardedBatchQuantizer:
+    """Quantize a batch of same-resolution images across a device mesh.
+
+    Usage:
+        mesh = make_mesh(n_data=2, n_pixel=4)
+        q = ShardedBatchQuantizer(QuantizationConfig(...), mesh)
+        palettes, info = q.find_palettes(images)     # images: (B, H, W, 3)
+        out = q.quantize(images, palettes)
+    """
+
+    def __init__(self, config: QuantizationConfig | None = None, mesh=None):
+        self.config = config or QuantizationConfig()
+        self.mesh = mesh if mesh is not None else make_mesh(1, None)
+        self.filters = build_filters(
+            self.config.scielab.dpi, self.config.scielab.viewing_distance_cm
+        )
+        self._prepare, self._init, self._chunk, self._quantize = build_sharded_fns(
+            self.mesh, self.config, self.filters
+        )
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    @property
+    def n_pixel(self) -> int:
+        return self.mesh.shape[PIXEL_AXIS]
+
+    def _check(self, images) -> None:
+        B, H, W, C = images.shape
+        if C != 3:
+            raise ValueError("images must be (B, H, W, 3)")
+        if B % self.n_data:
+            raise ValueError(f"batch {B} not divisible by data axis {self.n_data}")
+        if H % self.n_pixel:
+            raise ValueError(f"height {H} not divisible by pixel axis {self.n_pixel}")
+        if H // self.n_pixel < self.filters.half_width:
+            raise ValueError(
+                f"row strips of {H // self.n_pixel} are shorter than the filter "
+                f"half-width {self.filters.half_width}"
+            )
+
+    def find_palettes(self, images, seeds=None, progress=None, chunk_size=None):
+        """(B, K, 3) palettes + info. images: (B, H, W, 3) float sRGB."""
+        cfg = self.config
+        images = jnp.asarray(images, jnp.float32)
+        self._check(images)
+        B = images.shape[0]
+        if seeds is None:
+            seeds = np.arange(B, dtype=np.uint32) + cfg.seed
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+
+        targets = self._prepare(images)
+        state = self._init(images, targets, keys)
+
+        imax = cfg.swasa.imax
+        chunk = chunk_size or max(cfg.progress_every, 1)
+        done = 0
+        start = time.time()
+        traj = []
+        while done < imax:
+            n = min(chunk, imax - done)
+            state, telemetry = self._chunk(state, images, targets, n)
+            done += n
+            traj.append(jax.device_get(telemetry["best_error"][:, -1]))
+            if progress is not None:
+                elapsed = time.time() - start
+                stats = {
+                    "best_error_mean": float(np.mean(traj[-1])),
+                    "eta_s": elapsed / done * (imax - done),
+                }
+                if progress(done, imax, stats) is False:
+                    break
+
+        info = {
+            "best_errors": np.asarray(jax.device_get(state.best_error)),
+            "iterations": done,
+            "seconds": time.time() - start,
+            "state": state,
+        }
+        return jax.device_get(state.best_colors), info
+
+    def quantize(self, images, palettes):
+        images = jnp.asarray(images, jnp.float32)
+        return self._quantize(images, jnp.asarray(palettes, jnp.float32))
+
+    def run(self, images, seeds=None, progress=None):
+        palettes, info = self.find_palettes(images, seeds, progress)
+        out = self.quantize(images, palettes)
+        info["palettes"] = palettes
+        return jax.device_get(out), info

@@ -50,31 +50,38 @@ def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: Quantiza
     else:
         raise ValueError(f"unknown assignment_space {cfg.assignment_space!r}")
 
-    kh = sct.stacked_kernels(filters, vertical=False)
-    kv = sct.stacked_kernels(filters, vertical=True)
+    mats_h, mats_v = sct.band_matrices(filters)
+    half = filters.half_width
     opp = cs.xyz_to_opp(cs.srgb_to_xyz(image_hwc))
     target_lab = cs.opp_to_lab(
         jnp.moveaxis(
-            sct.scielab_filter_stacked(jnp.moveaxis(opp, -1, 0), kh, kv), 0, -1
+            sct.scielab_filter_banded(
+                jnp.moveaxis(opp, -1, 0), mats_h, mats_v, half
+            ),
+            0,
+            -1,
         ),
         wp,
     )
     return {
         "assign_pixels": assign_pixels,
         "target_lab": target_lab,
-        "kh": kh,
-        "kv": kv,
+        "mats_h": mats_h,
+        "mats_v": mats_v,
         "whitepoint": wp,
     }
 
 
-def make_fitness(ctx: dict, cfg: QuantizationConfig) -> swasa_loop.FitnessFn:
+def make_fitness(
+    ctx: dict, cfg: QuantizationConfig, half: int = 10
+) -> swasa_loop.FitnessFn:
     """Palette -> (scalar fitness, usage) on one image context.
 
     Fuses the reference's per-evaluation device pipeline
     (quantizeAndConvertToOpp -> computeScielabKernelsTemp/End -> Opp2LAB ->
     CIEDE -> mean + penalty; ImageManipulation.java:620-727) into a single
-    XLA-compiled function with an on-device mean.
+    XLA-compiled function with an on-device mean. `half` is the filter
+    half-width (static; filters.half_width).
     """
     H, W, _ = ctx["target_lab"].shape
     de_fn = cs.DELTA_E_FNS[cfg.deltaE]
@@ -91,12 +98,14 @@ def make_fitness(ctx: dict, cfg: QuantizationConfig) -> swasa_loop.FitnessFn:
         # gamma-expanding the winning color per pixel
         # (OptimizedConvolution.cl:194-198 does the latter; K << P makes the
         # palette-side conversion free).
+        # Planar (3, P) gather: an (P, 3) gather pads 3 lanes to 128 on TPU
+        # (42.7x HBM expansion, OOM at 4K x pop); feature-on-sublane is cheap.
         opp_palette = cs.srgb_to_opp(palette)
-        q_opp = opp_palette[idx].reshape(H, W, 3)
+        q_opp_chw = opp_palette.T[:, idx].reshape(3, H, W)
         q_lab = cs.opp_to_lab(
             jnp.moveaxis(
-                sct.scielab_filter_stacked(
-                    jnp.moveaxis(q_opp, -1, 0), ctx["kh"], ctx["kv"]
+                sct.scielab_filter_banded(
+                    q_opp_chw, ctx["mats_h"], ctx["mats_v"], half
                 ),
                 0,
                 -1,
@@ -110,15 +119,77 @@ def make_fitness(ctx: dict, cfg: QuantizationConfig) -> swasa_loop.FitnessFn:
     return fitness
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _init_jit(key, ctx, cfg: QuantizationConfig) -> SWASAState:
-    return swasa_loop.init_state(key, make_fitness(ctx, cfg), cfg.swasa)
+def _pallas_enabled(cfg: QuantizationConfig) -> bool:
+    if cfg.use_pallas == "on":
+        return True
+    if cfg.use_pallas == "off":
+        return False
+    return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_iters"))
-def _chunk_jit(state, ctx, cfg: QuantizationConfig, num_iters: int):
+def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
+    """(pop, K, 3) palettes -> ((pop,) errors, (pop, K) usage).
+
+    On TPU this uses the fused Pallas assignment kernel with an explicit
+    population grid (ops.pallas_assign) — the pixel stream is shared across
+    members, the palette search is one MXU matmul per block — followed by the
+    batched MXU banded-conv S-CIELAB. Elsewhere it is the vmapped jnp fitness.
+    """
+    if not _pallas_enabled(cfg):
+        fn = jax.vmap(make_fitness(ctx, cfg, half))
+        fn.is_population = True
+        return fn
+
+    from .ops import pallas_assign as pa
+
+    H, W, _ = ctx["target_lab"].shape
+    de_fn = cs.DELTA_E_FNS[cfg.deltaE]
+    lab_assign = cfg.assignment_space == "lab"
+
+    def pop_fitness(palettes: jax.Array):
+        pal_feats = (
+            jax.vmap(lambda p: cs.srgb_to_lab(p, ctx["whitepoint"]))(palettes)
+            if lab_assign
+            else palettes
+        )
+        opp_palettes = jax.vmap(cs.srgb_to_opp)(palettes)
+        opp, usage = pa.assign_opp_usage_pop(
+            ctx["assign_pixels"], pal_feats, opp_palettes
+        )
+        q_opp = opp.reshape(-1, 3, H, W)  # (pop, 3, H, W)
+
+        def tail(q_opp_chw, use):
+            q_lab = cs.opp_to_lab(
+                jnp.moveaxis(
+                    sct.scielab_filter_banded(
+                        q_opp_chw, ctx["mats_h"], ctx["mats_v"], half
+                    ),
+                    0,
+                    -1,
+                ),
+                ctx["whitepoint"],
+            )
+            err = jnp.mean(de_fn(ctx["target_lab"], q_lab))
+            return err + schedule.unused_penalty(use, cfg.swasa.delta)
+
+        errors = jax.vmap(tail)(q_opp, usage)
+        return errors, usage
+
+    pop_fitness.is_population = True
+    return pop_fitness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "half"))
+def _init_jit(key, ctx, cfg: QuantizationConfig, half: int = 10) -> SWASAState:
+    return swasa_loop.init_state(
+        key, make_population_fitness(ctx, cfg, half), cfg.swasa
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_iters", "half"))
+def _chunk_jit(state, ctx, cfg: QuantizationConfig, num_iters: int, half: int = 10):
     return swasa_loop.run_chunk(
-        state, make_fitness(ctx, cfg), cfg.swasa, num_iters
+        state, make_population_fitness(ctx, cfg, half), cfg.swasa, num_iters
     )
 
 
@@ -138,10 +209,19 @@ class HybridQuantizer:
             self.config.scielab.dpi, self.config.scielab.viewing_distance_cm
         )
         self._whitepoint = cs.WHITEPOINTS[self.config.scielab.whitepoint]
+        mats_h, mats_v = sct.band_matrices(self.filters)
+        half = self.filters.half_width
+        wp = jnp.asarray(self._whitepoint)
+
+        def _scielab(img):
+            opp = cs.xyz_to_opp(cs.srgb_to_xyz(img))
+            filtered = sct.scielab_filter_banded(
+                jnp.moveaxis(opp, -1, 0), mats_h, mats_v, half
+            )
+            return cs.opp_to_lab(jnp.moveaxis(filtered, 0, -1), wp)
+
         # One compiled function per image shape (jit caches on shape).
-        self._scielab_jit = jax.jit(
-            lambda img: sct.srgb_to_scielab(img, self.filters, self._whitepoint)
-        )
+        self._scielab_jit = jax.jit(_scielab)
         de_fn = cs.DELTA_E_FNS[self.config.deltaE]
 
         def _error_image(orig, quant):
@@ -176,8 +256,9 @@ class HybridQuantizer:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         chunk = chunk_size or cfg.progress_every
+        half = self.filters.half_width
         ctx = _make_context(image_hwc, self.filters, cfg)
-        state = _init_jit(key, ctx, cfg)
+        state = _init_jit(key, ctx, cfg, half)
 
         imax = cfg.swasa.imax
         traj = []
@@ -185,14 +266,17 @@ class HybridQuantizer:
         done = 0
         while done < imax:
             n = min(chunk, imax - done)
-            state, telemetry = _chunk_jit(state, ctx, cfg, n)
+            state, telemetry = _chunk_jit(state, ctx, cfg, n, half)
             done += n
             traj.append(jax.device_get(telemetry))
             if cfg.verbose:
+                # Population stats parity (ImageManipulation.java:552-565).
                 t = traj[-1]
                 print(
                     f"iter {done}/{imax}  best {float(t['best_error'][-1]):.5f}"
-                    f"  pop-mean {float(t['mean_error'][-1]):.5f}"
+                    f"  Population:  Mean : {float(t['mean_error'][-1]):.4f}"
+                    f"  Best : {float(t['min_error'][-1]):.4f}"
+                    f"  Std. Dev. : {float(t['std_error'][-1]):.4f}"
                 )
             if progress is not None:
                 elapsed = time.time() - start

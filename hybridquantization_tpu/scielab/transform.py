@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from .. import colorspace as cs
 from ..ops.conv import conv1d_symmetric
+from ..ops.band_conv import build_band_matrices, conv_h_banded, conv_v_banded
 from .filters import ScielabFilters, build_filters  # noqa: F401 (re-export)
 
 
@@ -41,10 +42,45 @@ def stacked_kernels(filters: ScielabFilters, vertical: bool) -> jnp.ndarray:
 def scielab_filter_stacked(
     opp_chw: jnp.ndarray, kh: jnp.ndarray, kv: jnp.ndarray
 ) -> jnp.ndarray:
-    """Filter with prebuilt (7, taps) kernel stacks (jit-friendly core)."""
+    """Filter with prebuilt (7, taps) kernel stacks (depthwise-conv path)."""
     x7 = jnp.concatenate([opp_chw, opp_chw, opp_chw[:1]], axis=0)  # (7, H, W)
     t = conv1d_symmetric(x7, kh, axis=2)   # horizontal pass
     y = conv1d_symmetric(t, kv, axis=1)    # vertical pass
+    out = y[:3] + y[3:6]
+    return out.at[0].add(y[6])
+
+
+def band_matrices(filters: ScielabFilters):
+    """(mats_h, mats_v) block-band matrix sets for the MXU conv path.
+
+    mats_* are 4-tuples of (7, 128, 128) arrays (A, B, C, E_left) from
+    ops.band_conv; horizontal and vertical differ only in the 7th channel
+    (k3 vs |k3|, ScielabProcessor.java:174-178).
+    """
+    import numpy as np
+
+    kh = np.concatenate(
+        [filters.k1.T, filters.k2.T, filters.k3[None]], axis=0
+    )
+    kv = np.concatenate(
+        [filters.k1.T, filters.k2.T, filters.k3_abs[None]], axis=0
+    )
+    mh = build_band_matrices(kh)
+    mv = build_band_matrices(kv)
+    return tuple(jnp.asarray(m) for m in mh), tuple(jnp.asarray(m) for m in mv)
+
+
+def scielab_filter_banded(
+    opp_chw: jnp.ndarray, mats_h, mats_v, half: int
+) -> jnp.ndarray:
+    """S-CIELAB filtering via block-banded MXU matmuls (ops.band_conv).
+
+    ~10x faster than the depthwise/shift-FMA formulations on TPU at equal
+    (f32) precision; exact to f32 rounding vs scielab_filter_stacked.
+    """
+    x7 = jnp.concatenate([opp_chw, opp_chw, opp_chw[:1]], axis=0)  # (7, H, W)
+    t = conv_h_banded(x7, mats_h, half)
+    y = conv_v_banded(t, mats_v, half)
     out = y[:3] + y[3:6]
     return out.at[0].add(y[6])
 

@@ -36,14 +36,30 @@ from .state import SWASAState
 
 # fitness: (K, 3) sRGB palette -> (scalar error, (K,) bool usage)
 FitnessFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+# population fitness: (pop, K, 3) -> ((pop,) errors, (pop, K) usage)
+PopFitnessFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-def init_state(key: jax.Array, fitness: FitnessFn, cfg: SWASAConfig) -> SWASAState:
+def as_population_fitness(fitness: FitnessFn) -> PopFitnessFn:
+    """Lift a per-palette fitness to a population batch via vmap."""
+    return jax.vmap(fitness)
+
+
+def _pop_fitness(fitness) -> PopFitnessFn:
+    """Accept either form: functions marked .is_population evaluate whole
+    populations at once (e.g. the Pallas pop-grid assignment kernel)."""
+    if getattr(fitness, "is_population", False):
+        return fitness
+    return as_population_fitness(fitness)
+
+
+def init_state(key: jax.Array, fitness, cfg: SWASAConfig) -> SWASAState:
     """Random palettes + initial fitness eval (ImageManipulation.java:413-493)."""
+    pop_fitness = _pop_fitness(fitness)
     key, sub = jax.random.split(key)
     pal_keys = jax.random.split(sub, cfg.population)
     colors = jax.vmap(lambda k: schedule.random_palette(k, cfg.num_colors))(pal_keys)
-    errors, _ = jax.vmap(fitness)(colors)
+    errors, _ = pop_fitness(colors)
     best = jnp.argmin(errors)
     return SWASAState(
         colors=colors,
@@ -56,9 +72,10 @@ def init_state(key: jax.Array, fitness: FitnessFn, cfg: SWASAConfig) -> SWASASta
     )
 
 
-def make_step(fitness: FitnessFn, cfg: SWASAConfig):
+def make_step(fitness, cfg: SWASAConfig):
     """One annealing iteration as a scan-compatible step function."""
 
+    pop_fitness = _pop_fitness(fitness)
     pop = cfg.population
 
     def step(state: SWASAState, ite: jax.Array):
@@ -77,7 +94,7 @@ def make_step(fitness: FitnessFn, cfg: SWASAConfig):
 
         # Batched fitness (replaces the event-pipelined population loop,
         # ImageManipulation.java:620-727).
-        errors, usage = jax.vmap(fitness)(proposals)
+        errors, usage = pop_fitness(proposals)
         del usage  # the penalty is folded into `errors` by the fitness fn
 
         # Metropolis acceptance per member (ImageManipulation.java:516-537).
@@ -118,6 +135,7 @@ def make_step(fitness: FitnessFn, cfg: SWASAConfig):
             "best_error": best_error,
             "mean_error": jnp.mean(errors),
             "min_error": jnp.min(errors),
+            "std_error": jnp.std(errors),
         }
         return new_state, telemetry
 
@@ -126,7 +144,7 @@ def make_step(fitness: FitnessFn, cfg: SWASAConfig):
 
 def run_chunk(
     state: SWASAState,
-    fitness: FitnessFn,
+    fitness,
     cfg: SWASAConfig,
     num_iters: int,
 ):

@@ -1,0 +1,80 @@
+"""Mixed-resolution bucketing + batch CLI smoke test."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from hybridquantization_tpu.batching import (
+    bucket_by_resolution,
+    pad_indices,
+    run_bucketed,
+)
+
+
+def test_bucketing():
+    sizes = [(64, 64), (32, 48), (64, 64), (32, 48), (128, 128)]
+    buckets = bucket_by_resolution(sizes)
+    assert sorted(b.resolution for b in buckets) == [(32, 48), (64, 64), (128, 128)]
+    by_res = {b.resolution: b.indices for b in buckets}
+    assert by_res[(64, 64)] == [0, 2]
+    assert by_res[(32, 48)] == [1, 3]
+
+
+def test_pad_indices():
+    assert pad_indices([1, 2, 3], 2) == ([1, 2, 3, 3], 3)
+    assert pad_indices([1, 2], 2) == ([1, 2], 2)
+    assert pad_indices([5], 4) == ([5, 5, 5, 5], 1)
+
+
+def test_run_bucketed_reorders(rng):
+    images = [
+        rng.random((8, 8, 3), dtype=np.float32),
+        rng.random((4, 6, 3), dtype=np.float32),
+        rng.random((8, 8, 3), dtype=np.float32),
+    ]
+
+    def run_batch(stack):
+        # "result" = per-image mean; shapes prove correct grouping
+        return (stack * 2, np.array([im.mean() for im in stack]))
+
+    out = run_bucketed(images, run_batch, n_data=2)
+    for i in range(3):
+        doubled, mean = out[i]
+        np.testing.assert_allclose(doubled, images[i] * 2)
+        assert mean == np.float32(images[i].mean())
+
+
+def test_batch_cli_smoke(tmp_path, rng):
+    """Drive the quantize-batch CLI end-to-end on the CPU backend."""
+    from hybridquantization_tpu import io as hio
+
+    paths = []
+    for i, shape in enumerate([(64, 48), (64, 48), (80, 64)]):
+        img = rng.random((*shape, 3), dtype=np.float32)
+        p = str(tmp_path / f"img{i}.ppm")
+        hio.save_image(p, img)
+        paths.append(p)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from hybridquantization_tpu.cli import main;"
+        f"raise SystemExit(main(['quantize-batch', *{paths!r},"
+        f" '--out-dir', {str(tmp_path / 'out')!r}, '--colors', '4',"
+        " '--imax', '10', '--population', '2', '--mesh-data', '1',"
+        " '--mesh-pixel', '4']))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={
+            **__import__("os").environ,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out_files = sorted((tmp_path / "out").iterdir())
+    assert len(out_files) == 3
+    assert "batch done" in proc.stdout

@@ -1,0 +1,97 @@
+"""Pallas fused assignment kernel vs the jnp reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridquantization_tpu import colorspace as cs
+from hybridquantization_tpu.ops import assign as aj
+from hybridquantization_tpu.ops import pallas_assign as pa
+
+
+def _data(rng, P, K):
+    feats = jnp.asarray(rng.random((P, 3), dtype=np.float32))
+    pal = jnp.asarray(rng.random((K, 3), dtype=np.float32))
+    return feats, pal
+
+
+@pytest.mark.parametrize("P,K", [(4096, 16), (5000, 17), (2048, 256), (1000, 3)])
+def test_single_matches_jnp(rng, P, K):
+    feats, pal = _data(rng, P, K)
+    opp_pal = cs.srgb_to_opp(pal)
+    idx_ref = np.asarray(aj.nearest_palette(feats, pal))
+
+    opp, usage = pa.assign_opp_usage(feats, pal, opp_pal, block=1024, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(opp), np.asarray(opp_pal)[idx_ref].T, atol=1e-5
+    )
+    want_usage = np.zeros(K, bool)
+    want_usage[idx_ref] = True
+    np.testing.assert_array_equal(np.asarray(usage), want_usage)
+
+    idx = np.asarray(pa.nearest_palette_pallas(feats, pal, block=1024, interpret=True))
+    np.testing.assert_array_equal(idx, idx_ref)
+
+
+def test_population_matches_jnp(rng):
+    P, K, pop = 4096 + 511, 16, 3
+    feats = jnp.asarray(rng.random((P, 3), dtype=np.float32))
+    pals = jnp.asarray(rng.random((pop, K, 3), dtype=np.float32))
+    opps = jax.vmap(cs.srgb_to_opp)(pals)
+    opp, usage = pa.assign_opp_usage_pop(feats, pals, opps, block=1024, interpret=True)
+    for p in range(pop):
+        idx = np.asarray(aj.nearest_palette(feats, pals[p]))
+        np.testing.assert_allclose(
+            np.asarray(opp[p]), np.asarray(opps[p])[idx].T, atol=1e-5
+        )
+        want = np.zeros(K, bool)
+        want[idx] = True
+        np.testing.assert_array_equal(np.asarray(usage[p]), want)
+
+
+def test_padding_does_not_mark_usage(rng):
+    """Padded pixels (P not a block multiple) must not set usage flags."""
+    K = 4
+    pal = jnp.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.5, 0.5, 0.5], [0.9, 0.1, 0.1]],
+        jnp.float32,
+    )
+    # all pixels exactly at entry 1; entry 0 would catch zero-padded pixels
+    feats = jnp.ones((1000, 3), jnp.float32)
+    _, usage = pa.assign_opp_usage(feats, pal, pal, block=1024, interpret=True)
+    np.testing.assert_array_equal(np.asarray(usage), [False, True, False, False])
+
+
+def test_tie_breaks_first_index():
+    pal = jnp.asarray(
+        [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [0.9, 0.9, 0.9]], jnp.float32
+    )
+    feats = jnp.asarray([[0.51, 0.5, 0.5], [0.9, 0.9, 0.9]], jnp.float32)
+    idx = np.asarray(pa.nearest_palette_pallas(feats, pal, block=128, interpret=True))
+    np.testing.assert_array_equal(idx, [0, 2])
+
+
+def test_pipeline_with_pallas_forced(rng):
+    """use_pallas='on' in interpret mode... pallas lowers on CPU via interpret
+    only; instead check the population fitness wrapper parity directly."""
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig, HybridQuantizer
+    from hybridquantization_tpu.pipeline import (
+        _make_context,
+        make_fitness,
+        make_population_fitness,
+    )
+
+    img = rng.random((24, 32, 3), dtype=np.float32)
+    cfg = QuantizationConfig(swasa=SWASAConfig(num_colors=5), use_pallas="off")
+    q = HybridQuantizer(cfg)
+    ctx = _make_context(jnp.asarray(img), q.filters, cfg)
+    pop_fn = make_population_fitness(ctx, cfg, q.filters.half_width)
+    assert getattr(pop_fn, "is_population", False)
+    pals = jnp.asarray(rng.random((3, 5, 3), dtype=np.float32))
+    errs, usage = jax.jit(pop_fn)(pals)
+    single = make_fitness(ctx, cfg, q.filters.half_width)
+    for p in range(3):
+        e, u = single(pals[p])
+        assert float(errs[p]) == pytest.approx(float(e), rel=1e-5)
+        np.testing.assert_array_equal(np.asarray(usage[p]), np.asarray(u))

@@ -29,7 +29,7 @@ def test_fitness_matches_oracle(rng):
     cfg = QuantizationConfig(swasa=SWASAConfig(num_colors=6, delta=2.0))
     q = HybridQuantizer(cfg)
     ctx = _make_context(jnp.asarray(img), q.filters, cfg)
-    fitness = make_fitness(ctx, cfg)
+    fitness = make_fitness(ctx, cfg, q.filters.half_width)
 
     ofilters, abs_k3, _ = oracle.build_filters(cfg.scielab.dpi, cfg.scielab.viewing_distance_cm)
     target = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
@@ -55,7 +55,7 @@ def test_fitness_zero_for_perfect_palette(rng):
     cfg = QuantizationConfig(swasa=SWASAConfig(num_colors=4, delta=2.0))
     q = HybridQuantizer(cfg)
     ctx = _make_context(jnp.asarray(img), q.filters, cfg)
-    err, usage = jax.jit(make_fitness(ctx, cfg))(jnp.asarray(palette))
+    err, usage = jax.jit(make_fitness(ctx, cfg, q.filters.half_width))(jnp.asarray(palette))
     assert float(err) < 1e-3
     assert bool(jnp.all(usage))
 
@@ -67,7 +67,7 @@ def test_unused_color_penalty_applied(rng):
     ctx = _make_context(jnp.asarray(img), q.filters, cfg)
     # one palette entry matches; the two far entries are never used -> 2*delta
     palette = jnp.asarray([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
-    err, usage = jax.jit(make_fitness(ctx, cfg))(palette)
+    err, usage = jax.jit(make_fitness(ctx, cfg, q.filters.half_width))(palette)
     assert np.asarray(usage).tolist() == [True, False, False]
     assert float(err) == pytest.approx(4.0, abs=1e-2)
 
