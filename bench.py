@@ -12,6 +12,11 @@ throughput. vs_baseline = measured / 16589 (>= 1.0 means the hardest reading
 of the north star is met on one chip).
 
 Extra context metrics ride inside the JSON object under "extra".
+
+Measurement hygiene (docs/PERFORMANCE.md): every repetition uses fresh
+inputs and synchronizes via device_get — through the axon relay,
+block_until_ready on repeated identical calls can return without real
+execution.
 """
 
 from __future__ import annotations
@@ -24,15 +29,19 @@ import numpy as np
 BASELINE_ASSIGN_MPIX_S = 4 * 5000 * (3840 * 2160 / 1e6) / 10.0  # 16589 Mpix/s
 
 
-def _median_time(fn, *args, warmup=2, iters=5):
+def _bench(fn, make_input, scalarize, iters=5):
+    """Median seconds; fresh input + forced device_get sync per repetition."""
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    out = fn(make_input(0))
+    jax.device_get(scalarize(out))  # warmup + compile
     ts = []
-    for _ in range(iters):
+    for i in range(1, iters + 1):
+        x = make_input(i)
+        jax.block_until_ready(x)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        out = fn(x)
+        jax.device_get(scalarize(out))
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2]
@@ -44,55 +53,82 @@ def main() -> None:
 
     from hybridquantization_tpu import QuantizationConfig, SWASAConfig
     from hybridquantization_tpu.ops import assign as assign_ops
+    from hybridquantization_tpu.ops import pallas_assign as pa
     from hybridquantization_tpu.pipeline import (
         HybridQuantizer,
+        _chunk_jit,
+        _init_jit,
         _make_context,
-        make_fitness,
+        make_population_fitness,
     )
 
-    H, W, K = 2160, 3840, 256
+    H, W, K, POP = 2160, 3840, 256, 4
     npix = H * W
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
-    palette = jnp.asarray(rng.random((K, 3), dtype=np.float32))
-    pixels = image.reshape(-1, 3)
+    palettes_np = [rng.random((POP, K, 3)).astype(np.float32) for _ in range(8)]
+    on_tpu = jax.default_backend() == "tpu"
 
-    # -- primary: fused nearest-palette assignment @ K=256 -------------------
-    assign_fn = jax.jit(
-        lambda px, pal: assign_ops.nearest_palette(px, pal, block_size=1 << 20)
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=K, population=POP, imax=100)
     )
-    t_assign = _median_time(assign_fn, pixels, palette)
-    assign_mpix_s = npix / t_assign / 1e6
-
-    # -- context: one full fitness evaluation (assign + S-CIELAB + deltaE) ---
-    cfg = QuantizationConfig(swasa=SWASAConfig(num_colors=K, population=1))
     engine = HybridQuantizer(cfg)
-    ctx = _make_context(image, engine.filters, cfg)
     half = engine.filters.half_width
+    ctx = _make_context(image, engine.filters, cfg)
+    jax.device_get(ctx["target_lab"][0, 0])
 
+    # -- primary: fused nearest-palette assignment @ K=256 (per-member) ------
+    if on_tpu:
+        @jax.jit
+        def assign_fn(args):
+            px, ps = args
+            opp, usage = pa.assign_opp_usage_pop(px, ps, ps)
+            return opp
+
+        t_assign_pop = _bench(
+            assign_fn,
+            lambda i: (ctx["assign_pixels"], jnp.asarray(palettes_np[i % 8])),
+            scalarize=lambda o: o[0, 0, :2],
+        )
+        assign_mpix_s = POP * npix / t_assign_pop / 1e6
+    else:
+        @jax.jit
+        def assign_fn(args):
+            px, ps = args
+            return assign_ops.nearest_palette(px, ps[0], block_size=1 << 20)
+
+        t_assign = _bench(
+            assign_fn,
+            lambda i: (ctx["assign_pixels"], jnp.asarray(palettes_np[i % 8])),
+            scalarize=lambda o: o[:2],
+        )
+        assign_mpix_s = npix / t_assign / 1e6
+
+    # -- context: population fitness (assign + S-CIELAB + deltaE) ------------
     @jax.jit
-    def fitness(ctx, pal):
-        # ctx passed as an argument: closing over it would inline the 4K
-        # image as MLIR constants (hundreds of MB -> pathological compiles).
-        return make_fitness(ctx, cfg, half)(pal)[0]
+    def fitness_fn(args):
+        ctx_, ps = args
+        errors, _ = make_population_fitness(ctx_, cfg, half)(ps)
+        return errors
 
-    t_fitness = _median_time(fitness, ctx, palette, warmup=1, iters=3)
+    t_fitness = _bench(
+        fitness_fn,
+        lambda i: (ctx, jnp.asarray(palettes_np[i % 8])),
+        scalarize=lambda e: e,
+        iters=3,
+    )
 
-    # -- context: SWASA iterations/s (pop=4, one scan step) ------------------
-    from hybridquantization_tpu.pipeline import _chunk_jit, _init_jit
-
-    cfg4 = QuantizationConfig(swasa=SWASAConfig(num_colors=K, population=4, imax=100))
-    engine4 = HybridQuantizer(cfg4)
-    ctx4 = _make_context(image, engine4.filters, cfg4)
-    state = _init_jit(jax.random.PRNGKey(0), ctx4, cfg4, half)
-    jax.block_until_ready(state.best_error)
-
-    def ten_iters(state):
-        s, _ = _chunk_jit(state, ctx4, cfg4, 10, half)
-        return s
-
-    t_ten = _median_time(ten_iters, state, warmup=1, iters=3)
-    iters_per_s = 10.0 / t_ten
+    # -- context: SWASA iterations/s (chained 10-iter scan chunks) -----------
+    state = _init_jit(jax.random.PRNGKey(0), ctx, cfg, half)
+    jax.device_get(state.best_error)
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, _telem = _chunk_jit(state, ctx, cfg, 10, half)
+        jax.device_get(state.best_error)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    iters_per_s = 10.0 / ts[len(ts) // 2]
 
     value = round(assign_mpix_s, 1)
     print(
@@ -103,12 +139,20 @@ def main() -> None:
                 "unit": "Mpix/s",
                 "vs_baseline": round(assign_mpix_s / BASELINE_ASSIGN_MPIX_S, 4),
                 "extra": {
-                    "fitness_eval_seconds_4k_k256": round(t_fitness, 4),
-                    "fitness_eval_mpix_per_s": round(npix / t_fitness / 1e6, 1),
+                    "pop4_fitness_eval_seconds_4k_k256": round(t_fitness, 4),
+                    "fitness_mpix_per_s_per_member": round(
+                        POP * npix / t_fitness / 1e6, 1
+                    ),
                     "swasa_iters_per_s_pop4_4k_k256": round(iters_per_s, 3),
                     "est_seconds_imax5000_pop4_4k": round(5000 / iters_per_s, 1),
+                    "final_best_error_40iters": float(
+                        jax.device_get(state.best_error)
+                    ),
                     "device": str(jax.devices()[0]),
-                    "baseline_derivation": "4*5000 evals * 8.29 Mpix / 10 s (north star, reference default schedule)",
+                    "baseline_derivation": (
+                        "4*5000 evals * 8.29 Mpix / 10 s "
+                        "(north star, reference default schedule)"
+                    ),
                 },
             }
         )

@@ -43,6 +43,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="Delta-E formula (reference plugin hardcodes CIE76)",
     )
     p.add_argument("--verbose", action="store_true", help="verbose stdout")
+    p.add_argument(
+        "--profile", metavar="LOGDIR",
+        help="capture a jax.profiler trace of the run into LOGDIR",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -136,13 +140,22 @@ def _config_from_args(args) -> QuantizationConfig:
 
 
 def cmd_quantize(args) -> int:
+    import os as _os
+
     cfg = _config_from_args(args)
     engine = HybridQuantizer(cfg)
     image = hio.load_image(args.input)
     print(f"image {image.shape[1]}x{image.shape[0]}, K={cfg.swasa.num_colors}")
 
+    initial_state = None
+    if args.checkpoint and _os.path.exists(args.checkpoint):
+        initial_state, extra = load_state(args.checkpoint)
+        print(
+            f"resuming from {args.checkpoint} at iteration "
+            f"{int(initial_state.iteration)}"
+        )
+
     start = time.time()
-    last_ckpt = [0]
 
     def progress(done, imax, t):
         eta = t.get("eta_s", 0.0)
@@ -151,12 +164,15 @@ def cmd_quantize(args) -> int:
             f"\r{done}/{imax} : {mins}m{secs}s remaining  best {t['best_error']:.5f}  "
         )
         sys.stdout.flush()
-        if args.checkpoint and done - last_ckpt[0] >= args.checkpoint_every:
-            # saved via the info dict below; per-chunk state isn't exposed
-            last_ckpt[0] = done
         return True
 
-    palette, info = engine.find_palette(image, progress=progress)
+    palette, info = engine.find_palette(
+        image,
+        progress=progress,
+        initial_state=initial_state,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+    )
     print(f"\noptimization: {time.time() - start:.1f}s, final error {info['best_error']:.5f}")
 
     if args.checkpoint:
@@ -256,11 +272,14 @@ def cmd_quantize_batch(args) -> int:
 def main(argv=None) -> int:
     _enable_compilation_cache()
     args = build_parser().parse_args(argv)
-    if args.command == "quantize":
-        return cmd_quantize(args)
-    if args.command == "quantize-batch":
-        return cmd_quantize_batch(args)
-    return cmd_error(args)
+    from .metrics import profiler_trace
+
+    with profiler_trace(getattr(args, "profile", None)):
+        if args.command == "quantize":
+            return cmd_quantize(args)
+        if args.command == "quantize-batch":
+            return cmd_quantize_batch(args)
+        return cmd_error(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,79 @@
+"""Multi-host (pod-slice) runtime wiring.
+
+The reference is a single-JVM, single-GPU program with no distributed
+backend at all (SURVEY.md section 5). Here multi-host scale-out is the same
+`shard_map` code as single-host: `jax.distributed.initialize` brings up the
+cross-host runtime, the mesh spans all processes' devices, and the existing
+psum/ppermute collectives ride ICI within a host and DCN across hosts.
+
+Mesh policy for >= 2 hosts (BASELINE config 5): the "data" axis spans hosts
+(each host feeds its local images; the error/usage psums inside an image
+never cross DCN) and the "pixel" axis stays within a host so the conv halo
+ppermute is ICI-only. `distributed_mesh` encodes that layout.
+
+Each process must call `init_distributed` before any jax op, then only
+interact with GLOBAL arrays built via `host_local_to_global`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, PIXEL_AXIS
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the multi-host JAX runtime (idempotent).
+
+    With no arguments, relies on the environment (TPU pod metadata or
+    JAX_COORDINATOR_ADDRESS etc.).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except ValueError:
+        # single-process environment (e.g. local testing): nothing to do
+        pass
+
+
+def distributed_mesh(pixel_per_host: int | None = None) -> Mesh:
+    """(data, pixel) mesh over all hosts' devices.
+
+    The pixel axis is confined to one host (halo exchange stays on ICI);
+    the data axis = hosts x remaining local devices.
+    """
+    local = jax.local_device_count()
+    n_pixel = pixel_per_host or local
+    if local % n_pixel:
+        raise ValueError(f"{local} local devices not divisible by pixel={n_pixel}")
+    devices = np.array(jax.devices())  # globally ordered, process-major
+    n_data = devices.size // n_pixel
+    grid = devices.reshape(n_data, n_pixel)
+    return Mesh(grid, (DATA_AXIS, PIXEL_AXIS))
+
+
+def host_local_to_global(mesh: Mesh, local_batch: np.ndarray):
+    """Assemble per-host (B_local, H, W, 3) image batches into one global
+    sharded array (each host contributes its local shard)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS, PIXEL_AXIS))
+    global_shape = (
+        local_batch.shape[0] * jax.process_count(),
+        *local_batch.shape[1:],
+    )
+    return jax.make_array_from_process_local_data(
+        sharding, local_batch, global_shape
+    )

@@ -246,11 +246,17 @@ class HybridQuantizer:
         key: jax.Array | None = None,
         progress: Optional[ProgressFn] = None,
         chunk_size: int | None = None,
+        initial_state: SWASAState | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 500,
     ):
         """SWASA search for the best K-color palette.
 
         Returns (palette (K, 3) float32 sRGB, info dict with the fitness
-        trajectory and final state).
+        trajectory and final state). Pass `initial_state` (e.g. from
+        checkpoint.load_state) to resume a run; `checkpoint_path` writes the
+        state atomically every `checkpoint_every` iterations — the reference
+        had no checkpointing (SURVEY.md section 5).
         """
         cfg = self.config
         if key is None:
@@ -258,16 +264,26 @@ class HybridQuantizer:
         chunk = chunk_size or cfg.progress_every
         half = self.filters.half_width
         ctx = _make_context(image_hwc, self.filters, cfg)
-        state = _init_jit(key, ctx, cfg, half)
+        if initial_state is not None:
+            state = initial_state
+        else:
+            state = _init_jit(key, ctx, cfg, half)
 
         imax = cfg.swasa.imax
         traj = []
         start = time.time()
-        done = 0
+        done = int(jax.device_get(state.iteration))
+        resumed_at = done
+        last_ckpt = done
         while done < imax:
             n = min(chunk, imax - done)
             state, telemetry = _chunk_jit(state, ctx, cfg, n, half)
             done += n
+            if checkpoint_path and done - last_ckpt >= checkpoint_every:
+                from .checkpoint import save_state
+
+                save_state(checkpoint_path, state)
+                last_ckpt = done
             traj.append(jax.device_get(telemetry))
             if cfg.verbose:
                 # Population stats parity (ImageManipulation.java:552-565).
@@ -280,7 +296,7 @@ class HybridQuantizer:
                 )
             if progress is not None:
                 elapsed = time.time() - start
-                eta = elapsed / done * (imax - done)
+                eta = elapsed / max(done - resumed_at, 1) * (imax - done)
                 last = {k: float(v[-1]) for k, v in traj[-1].items()}
                 last["eta_s"] = eta
                 if progress(done, imax, last) is False:
