@@ -24,8 +24,9 @@ Both passes use the same matrices: the horizontal pass right-multiplies row
 blocks, the vertical pass left-multiplies with the transposes. f32
 (HIGHEST) keeps reference parity.
 
-Requires taps <= 129 (band fits in adjacent blocks); the S-CIELAB bank is
-21 taps.
+Requires half-width <= 128 (band fits in adjacent blocks), i.e. up to 257
+taps; the default S-CIELAB bank is 21 taps, undecimated high-dpi banks reach
+~247.
 """
 
 from __future__ import annotations
@@ -49,8 +50,12 @@ def build_band_matrices(kernels: np.ndarray):
     kernels = np.asarray(kernels, np.float32)
     C, taps = kernels.shape
     half = taps // 2
-    if taps > BLOCK + 1:
-        raise ValueError(f"taps {taps} exceeds block bandwidth {BLOCK + 1}")
+    # The +/-1-block band covers any half-width up to BLOCK (x for outputs in
+    # block j spans blocks j-1..j+1 when half <= BLOCK).
+    if half > BLOCK:
+        raise ValueError(
+            f"filter half-width {half} exceeds the one-block band ({BLOCK})"
+        )
 
     j = np.arange(BLOCK)[:, None]
     i = np.arange(BLOCK)[None, :]
@@ -81,22 +86,21 @@ def build_band_matrices(kernels: np.ndarray):
     return A, B, Cm, E
 
 
-def _mirror_extend(x: jnp.ndarray, half: int, axis: int, nb: int) -> jnp.ndarray:
-    """Pad `axis` to nb*BLOCK: mirror the tail for `half` samples, zeros after."""
+def _mirror_extend(x: jnp.ndarray, half: int, axis: int) -> jnp.ndarray:
+    """Pad `axis` to a BLOCK multiple that fits the full `half` mirror tail.
+
+    The band reads up to x[n-1+half]; those positions MUST hold the mirrored
+    samples (zeros there would corrupt the last `half` outputs), so the
+    padded length is ceil((n + half) / BLOCK) * BLOCK: mirror first, zeros
+    after.
+    """
     n = x.shape[axis]
+    nb = -(-(n + half) // BLOCK)
     pad_total = nb * BLOCK - n
-    if pad_total == 0:
-        # Band reaching past the array must see mirrored samples: add one
-        # extra (all-mirror/zero) block so the shifted matmul has a neighbor.
-        pad_total = BLOCK
-        nb += 1
     mirror = lax.rev(lax.slice_in_dim(x, n - half, n, axis=axis), (axis,))
-    if pad_total <= half:
-        tail = lax.slice_in_dim(mirror, 0, pad_total, axis=axis)
-    else:
-        zshape = list(x.shape)
-        zshape[axis] = pad_total - half
-        tail = jnp.concatenate([mirror, jnp.zeros(zshape, x.dtype)], axis=axis)
+    zshape = list(x.shape)
+    zshape[axis] = pad_total - half
+    tail = jnp.concatenate([mirror, jnp.zeros(zshape, x.dtype)], axis=axis)
     return jnp.concatenate([x, tail], axis=axis)
 
 
@@ -120,8 +124,7 @@ def conv_h_banded(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
     """(C, H, W) horizontal pass. mats from build_band_matrices (as jnp)."""
     A, B, Cm, E = mats
     C, H, W = x.shape
-    nb = -(-W // BLOCK)
-    xp = _mirror_extend(x, taps_half, axis=2, nb=nb)
+    xp = _mirror_extend(x, taps_half, axis=2)
     nb = xp.shape[2] // BLOCK
     xb = xp.reshape(C, H, nb, BLOCK)
 
@@ -141,8 +144,7 @@ def conv_v_banded(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
     """(C, H, W) vertical pass via left-multiplication with transposes."""
     A, B, Cm, E = mats
     C, H, W = x.shape
-    nb = -(-H // BLOCK)
-    xp = _mirror_extend(x, taps_half, axis=1, nb=nb)
+    xp = _mirror_extend(x, taps_half, axis=1)
     nb = xp.shape[1] // BLOCK
     xb = xp.reshape(C, nb, BLOCK, W)
 

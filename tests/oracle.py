@@ -182,3 +182,66 @@ def fitness(image_hwc, target_lab, palette, ofilters, abs_k3, delta=2.0, wp=D65)
     q = palette[idx].reshape(H, W, 3)
     q_lab = srgb_to_scielab(q, ofilters, abs_k3, wp)
     return delta_e76(target_lab, q_lab).mean() + delta * (~used).sum()
+
+
+# -- the full SWASA loop (reference semantics, NumPy RNG) -------------------
+
+def swasa_search(
+    image_hwc,
+    num_colors,
+    seed=0,
+    population=4,
+    imax=5000,
+    delta=2.0,
+    convergence=True,
+    conv_delay=0.75,
+    conv_spread=0.15,
+    t0=20.0,
+    i_tc=20,
+    alpha=0.9,
+    s0=100.0,
+    beta=5.3,
+    dpi=72,
+    dist_cm=45.0,
+):
+    """Faithful mirror of findBestQuantization (ImageManipulation.java:383-591)
+    + SWASA.java, with an explicit NumPy RNG instead of icy.util.Random."""
+    rng = np.random.default_rng(seed)
+    ofilters, abs_k3, _ = build_filters(dpi, dist_cm)
+    target = srgb_to_scielab(image_hwc, ofilters, abs_k3)
+
+    def fit(pal):
+        return fitness(image_hwc, target, pal, ofilters, abs_k3, delta=delta)
+
+    colors = rng.random((population, num_colors, 3))
+    current = np.array([fit(c) for c in colors])
+    best_i = current.argmin()
+    best_err, best_colors = current[best_i], colors[best_i].copy()
+    temperature = t0
+
+    for ite in range(1, imax + 1):
+        if ite % i_tc == 0:
+            temperature *= alpha
+        step = 2 * s0 / (1 + np.exp(beta * ite / imax)) / 256.0
+        proposals = np.clip(
+            colors + rng.uniform(-1, 1, colors.shape) * step, 0, 1
+        )
+        errors = np.array([fit(p) for p in proposals])
+
+        min_idx = errors.argmin()
+        for i in range(population):
+            d = errors[i] - current[i]
+            if d <= 0 or np.exp(-d / temperature) > rng.random():
+                current[i] = errors[i]
+                colors[i] = proposals[i]
+                if errors[i] < best_err:
+                    best_err = errors[i]
+                    best_colors = proposals[i].copy()
+        if convergence and population > 1:
+            keep_p = -np.tanh((ite - conv_delay * imax) / (conv_spread * imax)) / 2 + 0.5
+            for i in range(population):
+                if not (keep_p > rng.random()):
+                    current[i] = errors[min_idx]
+                    colors[i] = proposals[min_idx].copy()
+
+    return best_colors, best_err

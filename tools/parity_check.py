@@ -1,0 +1,141 @@
+"""Quality-parity check: our engine vs the reference-semantics NumPy oracle.
+
+BASELINE north star: "match the reference plugin's quantization quality —
+mean CIELAB Delta-E and MSE at the same palette size K — within 1% on
+identical inputs". The reference itself is a GUI plugin (no OpenCL runtime
+here), so the comparison target is tests/oracle.py — an independent NumPy
+implementation of the reference pipeline verified formula-by-formula.
+
+The anneal is stochastic (and the reference is unseeded), so parity is
+statistical: both sides run S seeds and the mean final S-CIELAB Delta-E and
+sRGB MSE are compared.
+
+Usage:
+  python tools/parity_check.py [--image PATH] [--size 128] [--colors 8]
+      [--imax 500] [--seeds 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals() else os.getcwd()
+sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("tools") else _HERE)
+
+
+def make_test_image(size: int, rng) -> np.ndarray:
+    y, x = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    img = np.stack(
+        [
+            0.5 + 0.5 * np.sin(6.28 * x) * np.cos(3.1 * y),
+            y,
+            np.clip(x + 0.3 * np.sin(12.0 * y), 0, 1),
+        ],
+        axis=-1,
+    )
+    img = np.clip(img + rng.normal(scale=0.04, size=img.shape), 0, 1)
+    return img.astype(np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", help="input image (default: synthetic)")
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--colors", "-k", type=int, default=8)
+    ap.add_argument("--imax", type=int, default=400)
+    ap.add_argument("--population", type=int, default=4)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--tolerance", type=float, default=0.01, help="relative gap for PASS")
+    args = ap.parse_args()
+
+    import jax
+
+    from hybridquantization_tpu import (
+        HybridQuantizer,
+        QuantizationConfig,
+        SWASAConfig,
+    )
+    from tests import oracle
+
+    if args.image:
+        from hybridquantization_tpu import io as hio
+
+        img = hio.load_image(args.image)
+    else:
+        img = make_test_image(args.size, np.random.default_rng(0))
+
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(
+            num_colors=args.colors, population=args.population, imax=args.imax
+        )
+    )
+    engine = HybridQuantizer(cfg)
+    ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
+    target = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
+
+    def quality(palette: np.ndarray):
+        """Final-quality metrics via the oracle (one judge for both sides)."""
+        idx = oracle.nearest_palette(
+            img.reshape(-1, 3).astype(np.float64), palette.astype(np.float64)
+        )
+        q = palette[idx].reshape(img.shape)
+        q_lab = oracle.srgb_to_scielab(q, ofilters, abs_k3)
+        de = oracle.delta_e76(target, q_lab).mean()
+        mse = float(((q - img) ** 2).mean())
+        return de, mse
+
+    ours_de, ours_mse, oracle_de, oracle_mse = [], [], [], []
+    for s in range(args.seeds):
+        t0 = time.time()
+        pal, info = engine.find_palette(
+            img, key=jax.random.PRNGKey(s), chunk_size=args.imax
+        )
+        de, mse = quality(np.asarray(pal, np.float64))
+        ours_de.append(de)
+        ours_mse.append(mse)
+        print(
+            f"[ours]   seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+        t0 = time.time()
+        pal_o, _ = oracle.swasa_search(
+            img.astype(np.float64),
+            args.colors,
+            seed=s,
+            population=args.population,
+            imax=args.imax,
+        )
+        de, mse = quality(pal_o)
+        oracle_de.append(de)
+        oracle_mse.append(mse)
+        print(
+            f"[oracle] seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+    m_ours, m_oracle = np.mean(ours_de), np.mean(oracle_de)
+    gap_de = abs(m_ours - m_oracle) / m_oracle
+    gap_mse = abs(np.mean(ours_mse) - np.mean(oracle_mse)) / max(
+        np.mean(oracle_mse), 1e-12
+    )
+    print(
+        f"\nmean deltaE: ours {m_ours:.4f} vs oracle {m_oracle:.4f} "
+        f"(gap {gap_de * 100:.2f}%)"
+    )
+    print(
+        f"mean MSE:    ours {np.mean(ours_mse):.6f} vs oracle "
+        f"{np.mean(oracle_mse):.6f} (gap {gap_mse * 100:.2f}%)"
+    )
+    ok = gap_de <= args.tolerance
+    print("PARITY:", "PASS" if ok else "FAIL", f"(deltaE tolerance {args.tolerance:.0%})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
