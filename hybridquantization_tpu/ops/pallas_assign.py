@@ -347,6 +347,7 @@ def assign_opp_usage_pop(
     pal_feats: jnp.ndarray,
     opp_palettes: jnp.ndarray,
     *,
+    x8: jnp.ndarray | None = None,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ):
@@ -356,12 +357,15 @@ def assign_opp_usage_pop(
       features: (P, 3) pixel features shared by all members.
       pal_feats: (pop, K, 3) candidate palettes in the feature space.
       opp_palettes: (pop, K, 3) candidate palettes in opponent space.
+      x8: optional pre-packed pixels from pack_pixels(features, block) —
+        pass this when calling repeatedly (packing rewrites the buffer).
 
     Returns:
       (opp (pop, 3, P) f32, usage (pop, K) bool).
     """
     P, K = features.shape[0], pal_feats.shape[1]
-    x8 = pack_pixels(features, block)
+    if x8 is None:
+        x8 = pack_pixels(features, block)
     c8, o8 = jax.vmap(pack_palette)(pal_feats, opp_palettes)
     opp, usage = assign_opp_pop(
         x8, c8, o8, jnp.int32(P), block=block, interpret=interpret

@@ -63,13 +63,21 @@ def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: Quantiza
         ),
         wp,
     )
-    return {
+    ctx = {
         "assign_pixels": assign_pixels,
         "target_lab": target_lab,
         "mats_h": mats_h,
         "mats_v": mats_v,
         "whitepoint": wp,
     }
+    if _pallas_enabled(cfg):
+        # Pre-packed planar pixel features for the Pallas kernel — packing
+        # costs a full pixel-buffer rewrite, so do it once per image, not
+        # once per fitness evaluation.
+        from .ops import pallas_assign as pa
+
+        ctx["x8"] = pa.pack_pixels(assign_pixels)
+    return ctx
 
 
 def make_fitness(
@@ -154,7 +162,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
         )
         opp_palettes = jax.vmap(cs.srgb_to_opp)(palettes)
         opp, usage = pa.assign_opp_usage_pop(
-            ctx["assign_pixels"], pal_feats, opp_palettes
+            ctx["assign_pixels"], pal_feats, opp_palettes, x8=ctx.get("x8")
         )
         q_opp = opp.reshape(-1, 3, H, W)  # (pop, 3, H, W)
 
