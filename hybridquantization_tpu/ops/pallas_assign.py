@@ -348,22 +348,27 @@ def assign_opp_usage_pop(
     opp_palettes: jnp.ndarray,
     *,
     x8: jnp.ndarray | None = None,
+    num_pixels: int | None = None,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ):
     """Population-fused assignment.
 
     Args:
-      features: (P, 3) pixel features shared by all members.
+      features: (P, 3) pixel features shared by all members (may be unused
+        when both x8 and num_pixels are given).
       pal_feats: (pop, K, 3) candidate palettes in the feature space.
       opp_palettes: (pop, K, 3) candidate palettes in opponent space.
       x8: optional pre-packed pixels from pack_pixels(features, block) —
         pass this when calling repeatedly (packing rewrites the buffer).
+      num_pixels: pixel count when x8 was packed from a different (e.g.
+        mirror-padded) pixel set than `features`.
 
     Returns:
       (opp (pop, 3, P) f32, usage (pop, K) bool).
     """
-    P, K = features.shape[0], pal_feats.shape[1]
+    K = pal_feats.shape[1]
+    P = num_pixels if num_pixels is not None else features.shape[0]
     if x8 is None:
         x8 = pack_pixels(features, block)
     c8, o8 = jax.vmap(pack_palette)(pal_feats, opp_palettes)

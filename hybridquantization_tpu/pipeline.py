@@ -75,8 +75,25 @@ def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: Quantiza
         # costs a full pixel-buffer rewrite, so do it once per image, not
         # once per fitness evaluation.
         from .ops import pallas_assign as pa
+        from .ops.band_conv import padded_plan
 
-        ctx["x8"] = pa.pack_pixels(assign_pixels)
+        H, W = image_hwc.shape[:2]
+        Hp, Wp, pad_ok = padded_plan(H, W, half)
+        if pad_ok:
+            # Mirror-pad the image ONCE to BLOCK multiples: the assign
+            # kernel then emits an already-padded opponent image, and both
+            # conv passes run with zero per-evaluation padding copies
+            # (band_conv fast path). Padded pixels are mirror duplicates of
+            # real pixels, so usage flags and the penalty are unaffected.
+            image_padded = jnp.pad(
+                image_hwc, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="symmetric"
+            )
+            feats_padded = image_padded.reshape(-1, 3)
+            if cfg.assignment_space == "lab":
+                feats_padded = cs.srgb_to_lab(feats_padded, wp)
+            ctx["x8"] = pa.pack_pixels(feats_padded)
+        else:
+            ctx["x8"] = pa.pack_pixels(assign_pixels)
     return ctx
 
 
@@ -149,12 +166,17 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
         return fn
 
     from .ops import pallas_assign as pa
+    from .ops.band_conv import conv_h_padded, conv_v_padded, padded_plan
 
     H, W, _ = ctx["target_lab"].shape
+    Hp, Wp, pad_ok = padded_plan(H, W, half)
     de_fn = cs.DELTA_E_FNS[cfg.deltaE]
     lab_assign = cfg.assignment_space == "lab"
+    interpret = jax.default_backend() != "tpu"
+    SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent-channel source
 
     def pop_fitness(palettes: jax.Array):
+        pop = palettes.shape[0]
         pal_feats = (
             jax.vmap(lambda p: cs.srgb_to_lab(p, ctx["whitepoint"]))(palettes)
             if lab_assign
@@ -162,25 +184,38 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
         )
         opp_palettes = jax.vmap(cs.srgb_to_opp)(palettes)
         opp, usage = pa.assign_opp_usage_pop(
-            ctx["assign_pixels"], pal_feats, opp_palettes, x8=ctx.get("x8")
+            ctx["assign_pixels"],
+            pal_feats,
+            opp_palettes,
+            x8=ctx["x8"],
+            num_pixels=Hp * Wp if pad_ok else H * W,
+            interpret=interpret,
         )
-        q_opp = opp.reshape(-1, 3, H, W)  # (pop, 3, H, W)
 
-        def tail(q_opp_chw, use):
+        if pad_ok:
+            # Zero-copy conv fast path on the mirror-padded image.
+            q = opp.reshape(pop, 3, Hp, Wp)
+            t7 = conv_h_padded(q, ctx["mats_h"], half, src=SRC7)
+            y7 = conv_v_padded(t7, ctx["mats_v"], half)
+            y3 = y7[:, :3] + y7[:, 3:6]
+            y3 = y3.at[:, 0].add(y7[:, 6])
+            filtered = y3[:, :, :H, :W]
+        else:
+            q_opp = opp.reshape(pop, 3, H, W)
+            filtered = jax.vmap(
+                lambda z: sct.scielab_filter_banded(
+                    z, ctx["mats_h"], ctx["mats_v"], half
+                )
+            )(q_opp)
+
+        def tail(filt, use):
             q_lab = cs.opp_to_lab(
-                jnp.moveaxis(
-                    sct.scielab_filter_banded(
-                        q_opp_chw, ctx["mats_h"], ctx["mats_v"], half
-                    ),
-                    0,
-                    -1,
-                ),
-                ctx["whitepoint"],
+                jnp.moveaxis(filt, 0, -1), ctx["whitepoint"]
             )
             err = jnp.mean(de_fn(ctx["target_lab"], q_lab))
             return err + schedule.unused_penalty(use, cfg.swasa.delta)
 
-        errors = jax.vmap(tail)(q_opp, usage)
+        errors = jax.vmap(tail)(filtered, usage)
         return errors, usage
 
     pop_fitness.is_population = True

@@ -72,6 +72,36 @@ def test_tie_breaks_first_index():
     np.testing.assert_array_equal(idx, [0, 2])
 
 
+@pytest.mark.parametrize("space", ["srgb", "lab"])
+def test_padded_pallas_fitness_matches_jnp(rng, space):
+    """The mirror-padded zero-copy conv path (use_pallas=on, interpret on
+    CPU) must reproduce the unpadded jnp fitness exactly."""
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.pipeline import (
+        HybridQuantizer,
+        _make_context,
+        make_population_fitness,
+    )
+
+    img = rng.random((200, 150, 3), dtype=np.float32)  # pad_ok dims
+    pals = jnp.asarray(rng.random((2, 6, 3), dtype=np.float32))
+    res = {}
+    for mode in ["on", "off"]:
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=6, population=2),
+            use_pallas=mode,
+            assignment_space=space,
+        )
+        q = HybridQuantizer(cfg)
+        ctx = _make_context(jnp.asarray(img), q.filters, cfg)
+        e, u = jax.jit(make_population_fitness(ctx, cfg, q.filters.half_width))(
+            pals
+        )
+        res[mode] = (np.asarray(e), np.asarray(u))
+    np.testing.assert_allclose(res["on"][0], res["off"][0], atol=2e-5)
+    np.testing.assert_array_equal(res["on"][1], res["off"][1])
+
+
 def test_pipeline_with_pallas_forced(rng):
     """use_pallas='on' in interpret mode... pallas lowers on CPU via interpret
     only; instead check the population fitness wrapper parity directly."""
