@@ -346,6 +346,53 @@ def conv_v_padded(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
     return y.reshape(P_, C, Hp, W)
 
 
+def conv_h_valid(x: jnp.ndarray, mats, src=None) -> jnp.ndarray:
+    """(P, C, H, Wx) -> (P, F, H, Wx - 2*BLOCK) pure-VALID horizontal pass.
+
+    x must carry one full leading and trailing neighbor block on W (e.g.
+    jnp.pad(mode="symmetric") by BLOCK on the left of an already
+    mirror-extended image): no conv-internal padding, no edge-matrix
+    corrections — the cheapest formulation XLA allows.
+    """
+    A, B, Cm, E = mats
+    del E
+    P_, C, H, Wx = x.shape
+    F = A.shape[0]
+    src = tuple(range(F)) if src is None else tuple(src)
+    nb = Wx // BLOCK
+    xb = x.reshape(P_, C, H, nb, BLOCK)
+    outs = []
+    for f in range(F):
+        lhs = xb[:, src[f]].reshape(P_ * H, nb, BLOCK)
+        rhs = jnp.stack([A[f], B[f], Cm[f]], axis=0)
+        y = lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=_PREC,
+        )
+        outs.append(y.reshape(P_, H, nb - 2, BLOCK))
+    return jnp.stack(outs, axis=1).reshape(P_, F, H, (nb - 2) * BLOCK)
+
+
+def conv_v_valid(x: jnp.ndarray, mats) -> jnp.ndarray:
+    """(P, C, Hx, W) -> (P, C, Hx - 2*BLOCK, W) pure-VALID vertical pass."""
+    A, B, Cm, E = mats
+    del E
+    P_, C, Hx, W = x.shape
+    nb = Hx // BLOCK
+    xb = x.reshape(P_, C, nb, BLOCK, W)
+    outs = []
+    for c in range(C):
+        rhs = jnp.stack([A[c], B[c], Cm[c]], axis=0)[:, None]
+        y = lax.conv_general_dilated(
+            xb[:, c], rhs, (1, 1), "VALID",
+            dimension_numbers=("NHCW", "HWIO", "NHCW"),
+            precision=_PREC,
+        )
+        outs.append(y)
+    return jnp.stack(outs, axis=1).reshape(P_, C, (nb - 2) * BLOCK, W)
+
+
 def padded_plan(H: int, W: int, half: int):
     """(Hp, Wp, ok): padded dims and whether jnp.pad(symmetric) can build the
     mirror (pad amounts must not exceed the image extent)."""
