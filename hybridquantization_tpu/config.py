@@ -48,12 +48,21 @@ class QuantizationConfig:
     assignment_space: "srgb" reproduces the reference's Euclidean-in-sRGB
       palette assignment (OptimizedConvolution.cl:155,180); "lab" assigns by
       CIELAB Delta-E76 (the BASELINE north-star kernel).
+    precision: assignment-scores matmul precision on TPU —
+      "highest" (true f32, 6 bf16 MXU passes; bit-matches the jnp path),
+      "f32x3" (hi/lo bf16 split, 3 passes, |err| ~1e-7 — the default;
+      assignment flips only on score gaps below ~1e-7, quality-neutral),
+      "bf16" (1 pass fast mode; flips ~0.7% of assignments, measured —
+      still inside the 1% quality-parity budget, validate per-use with
+      tools/parity_check). The reference computes f32 distances
+      (OptimizedConvolution.cl:155).
     """
 
     swasa: SWASAConfig = SWASAConfig()
     scielab: ScielabConfig = ScielabConfig()
     deltaE: str = "CIE76"
     assignment_space: str = "srgb"
+    precision: str = "f32x3"      # "highest" | "f32x3" | "bf16"
     verbose: bool = False
     seed: int = 0
     progress_every: int = 10      # host progress cadence (ImageManipulation.java:546)

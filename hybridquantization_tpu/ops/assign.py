@@ -27,21 +27,41 @@ import jax
 import jax.numpy as jnp
 
 
-def _scores(pixels: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
-    """(P, K) matmul scores whose argmax == nearest-palette argmin.
-
-    Precision HIGHEST keeps the distance comparison in true f32 — the TPU
-    default would run the MXU in bf16, which can flip assignments between
-    nearby palette colors (the reference computes f32 distances,
-    OptimizedConvolution.cl:155).
-    """
-    dots = jax.lax.dot_general(
+def _dot(pixels, palette, precision):
+    return jax.lax.dot_general(
         pixels,
         palette,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
+
+
+def _scores(
+    pixels: jnp.ndarray, palette: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
+    """(P, K) matmul scores whose argmax == nearest-palette argmin.
+
+    precision (same modes as ops.pallas_assign): "highest" keeps the
+    distance comparison in true f32 — the TPU default would run the MXU in
+    bf16, which can flip assignments between nearby palette colors (the
+    reference computes f32 distances, OptimizedConvolution.cl:155). "f32x3"
+    is the 3-pass hi/lo bf16 split (|err| ~1e-7, 2x faster on the MXU);
+    "bf16" is the 1-pass fast mode.
+    """
+    if precision == "highest":
+        dots = _dot(pixels, palette, jax.lax.Precision.HIGHEST)
+    elif precision == "bf16":
+        dots = _dot(pixels, palette, jax.lax.Precision.DEFAULT)
+    elif precision == "f32x3":
+        ph = pixels.astype(jnp.bfloat16)
+        pl_ = (pixels - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+        ch = palette.astype(jnp.bfloat16)
+        cl = (palette - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = jax.lax.Precision.DEFAULT
+        dots = _dot(ph, ch, d) + _dot(ph, cl, d) + _dot(pl_, ch, d)
+    else:
+        raise ValueError(f"unknown precision {precision!r}")
     return 2.0 * dots - jnp.sum(palette * palette, axis=-1)[None, :]
 
 
@@ -50,6 +70,7 @@ def nearest_palette(
     palette: jnp.ndarray,
     *,
     block_size: int = 1 << 16,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Index of the nearest palette entry for every pixel.
 
@@ -64,14 +85,18 @@ def nearest_palette(
     """
     P = pixels.shape[0]
     if P <= block_size:
-        return jnp.argmax(_scores(pixels, palette), axis=-1).astype(jnp.int32)
+        return jnp.argmax(
+            _scores(pixels, palette, precision), axis=-1
+        ).astype(jnp.int32)
 
     pad = (-P) % block_size
     padded = jnp.pad(pixels, ((0, pad), (0, 0)))
     blocks = padded.reshape(-1, block_size, pixels.shape[1])
 
     def one(block):
-        return jnp.argmax(_scores(block, palette), axis=-1).astype(jnp.int32)
+        return jnp.argmax(
+            _scores(block, palette, precision), axis=-1
+        ).astype(jnp.int32)
 
     idx = jax.lax.map(one, blocks).reshape(-1)
     return idx[:P]

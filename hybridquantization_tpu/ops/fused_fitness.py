@@ -1,0 +1,261 @@
+"""Fused S-CIELAB fitness tail: conv x2 + Opp->LAB + Delta-E + reduce, one kernel.
+
+TPU-native fusion of the reference's per-evaluation device chain
+computeScielabKernelsTemp -> computeScielabKernelsEnd -> Opp2LAB -> CIEDE ->
+mean (OptimizedConvolution.cl:234-306,124-145,201-232 and the host readback
+ImageManipulation.java:653-714) into ONE Pallas kernel:
+
+  for each 128-column stripe of the (guard-padded) opponent image:
+    1. horizontal pass: 7 banded-matmul filters (ops.band_conv matrices)
+       into a VMEM-resident (7, Hg, 128) intermediate — the reference's
+       "temp" buffers and our previous XLA path both round-tripped this
+       7-channel image through HBM twice; here it never leaves the chip.
+    2. vertical pass per 128-row block: banded matmuls, 7 -> 3 channel
+       combine (k1 + k2, luminance += k3), Opp->XYZ->LAB, Delta-E against
+       the target S-CIELAB image, pad masking, and accumulation into a
+       (128, 128) partial-sum tile.
+
+  err_sum[member] = sum(acc) outside the kernel; mean = err_sum / (H*W).
+
+HBM traffic per evaluation drops from ~14 channel-images (t7 out+in, y7
+out+in via XLA fusion boundaries) to: read q (x2 overlap for column halos),
+read target once per member — everything else stays in VMEM.
+
+Precision modes (matmuls): "highest" (f32, 6 bf16 MXU passes), "f32x3"
+(hi/lo bf16 split, 3 passes, |err| ~1e-7 — default), "bf16" (1 pass, fast).
+The Delta-E/LAB tail is always f32 VPU math.
+
+Layout contract (from pipeline._make_context / ops.band_conv.padded_plan):
+  q_g:    (pop, 3, Hg, Wg) opponent image, mirror-padded to (Hp, Wp) 128-
+          multiples at image build time plus one 128-guard block per side
+          (jnp.pad mode="symmetric"), so both passes are pure-VALID:
+          Hg = Hp + 256, Wg = Wp + 256.
+  target: (3, Hp, Wp) planar target S-CIELAB (pad region don't-care).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import colorspace as cs
+
+BLOCK = 128
+SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent source channel
+
+FUSED_DELTA_E = ("CIE76", "CIE94")  # CIEDE2000 falls back to the XLA path
+
+
+# ---------------------------------------------------------------------------
+# Matmul helper with precision modes
+# ---------------------------------------------------------------------------
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm(a, b, precision: str):
+    """(m, k) @ (k, n) -> f32 (m, n) at the requested precision."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "highest":
+        return jax.lax.dot_general(
+            a, b, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            a, b, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+# ---------------------------------------------------------------------------
+# Channel-wise LAB / Delta-E (planar 2D tiles; mirrors colorspace.py)
+# ---------------------------------------------------------------------------
+
+def _cbrt_pos(t):
+    """cbrt for t > 0 via exp/log + one Newton step (~1 ulp of lax.cbrt).
+
+    Mosaic has no cbrt lowering; this is only evaluated on the t > delta^3
+    branch of lab_f, so the input is clamped to that positive threshold.
+    """
+    t = jnp.maximum(t, cs.LAB_DELTA3)
+    y = jnp.exp(jnp.log(t) * (1.0 / 3.0))
+    return (2.0 * y + t / (y * y)) * (1.0 / 3.0)
+
+
+def _lab_f(t):
+    return jnp.where(
+        t > cs.LAB_DELTA3, _cbrt_pos(t), (cs.LAB_KAPPA * t + 16.0) / 116.0
+    )
+
+
+def _opp_tiles_to_lab(o0, o1, o2, whitepoint):
+    M = np.asarray(cs.M_OPP2XYZ)
+    wp = np.asarray(whitepoint, np.float32)
+    fx = _lab_f((M[0, 0] * o0 + M[0, 1] * o1 + M[0, 2] * o2) / wp[0])
+    fy = _lab_f((M[1, 0] * o0 + M[1, 1] * o1 + M[1, 2] * o2) / wp[1])
+    fz = _lab_f((M[2, 0] * o0 + M[2, 1] * o1 + M[2, 2] * o2) / wp[2])
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
+    dL = L1 - L2
+    da = a1 - a2
+    db = b1 - b2
+    if kind == "CIE76":
+        return jnp.sqrt(dL * dL + da * da + db * db)
+    if kind == "CIE94":  # graphic-arts constants, asymmetric like the ref
+        c1 = jnp.sqrt(a1 * a1 + b1 * b1)
+        dC = c1 - jnp.sqrt(a2 * a2 + b2 * b2)
+        dH = jnp.sqrt(jnp.maximum(da * da + db * db - dC * dC, 0.0))
+        sc = 1.0 + 0.045 * c1
+        sh = 1.0 + 0.015 * c1
+        return jnp.sqrt(dL * dL + (dC / sc) ** 2 + (dH / sh) ** 2)
+    raise ValueError(f"fused kernel does not support deltaE {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(
+    qL, qM, qR, tgt, ah, bh, ch, avt, bvt, cvt, acc, t7,
+    *, H, W, n_rows, whitepoint, deltaE, precision,
+):
+    s = pl.program_id(0)
+
+    # -- horizontal pass into the VMEM scratch -------------------------------
+    for f in range(7):
+        c = SRC7[f]
+        t7[f] = (
+            _mm(qL[0, c], ah[f], precision)
+            + _mm(qM[0, c], bh[f], precision)
+            + _mm(qR[0, c], ch[f], precision)
+        )
+
+    @pl.when(s == 0)
+    def _():
+        acc[0, :, :] = jnp.zeros_like(acc[0])
+
+    col_ids = s * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    col_ok = col_ids < W
+
+    # -- vertical pass + LAB + Delta-E + masked accumulation -----------------
+    def body(r, carry):
+        row0 = r * BLOCK
+        y = []
+        for f in range(7):
+            w0 = t7[f, pl.ds(row0, BLOCK), :]
+            w1 = t7[f, pl.ds(row0 + BLOCK, BLOCK), :]
+            w2 = t7[f, pl.ds(row0 + 2 * BLOCK, BLOCK), :]
+            y.append(
+                _mm(avt[f], w0, precision)
+                + _mm(bvt[f], w1, precision)
+                + _mm(cvt[f], w2, precision)
+            )
+        o0 = y[0] + y[3] + y[6]
+        o1 = y[1] + y[4]
+        o2 = y[2] + y[5]
+        L1, a1, b1 = _opp_tiles_to_lab(o0, o1, o2, whitepoint)
+
+        L2 = tgt[0, pl.ds(row0, BLOCK), :]
+        a2 = tgt[1, pl.ds(row0, BLOCK), :]
+        b2 = tgt[2, pl.ds(row0, BLOCK), :]
+        # Argument order matters: CIE94 is asymmetric (C1 from the FIRST
+        # argument) and the pipeline computes de_fn(target, quantized).
+        de = _delta_e_tiles(L2, a2, b2, L1, a1, b1, deltaE)
+
+        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
+        mask = (row_ids < H) & col_ok
+        acc[0, :, :] = acc[0] + jnp.where(mask, de, 0.0)
+        return carry
+
+    jax.lax.fori_loop(0, n_rows, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "whitepoint", "H", "W", "deltaE", "precision", "interpret"
+    ),
+)
+def fused_scielab_err_sums(
+    q_g: jnp.ndarray,
+    target: jnp.ndarray,
+    mats_h,
+    mats_v,
+    whitepoint: tuple,
+    *,
+    H: int,
+    W: int,
+    deltaE: str = "CIE76",
+    precision: str = "f32x3",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(pop,) Delta-E sums over the true HxW region (divide by H*W outside).
+
+    q_g (pop, 3, Hg, Wg) guard-padded opponent image; target (3, Hp, Wp)
+    planar target LAB; whitepoint a STATIC 3-tuple of floats; mats_h/mats_v
+    from scielab.transform.band_matrices (the E edge matrices are unused —
+    edges are baked into the guards).
+    """
+    pop, _, Hg, Wg = q_g.shape
+    Hp, Wp = Hg - 2 * BLOCK, Wg - 2 * BLOCK
+    assert target.shape == (3, Hp, Wp), (target.shape, Hp, Wp)
+    n_cols = Wp // BLOCK
+    n_rows = Hp // BLOCK
+    ah, bh, ch = (m.astype(jnp.float32) for m in mats_h[:3])
+    # vertical matrices pre-transposed: y = M^T x as a plain (k,b)@(b,w)
+    avt, bvt, cvt = (
+        jnp.swapaxes(m, 1, 2).astype(jnp.float32) for m in mats_v[:3]
+    )
+    kernel = functools.partial(
+        _fused_kernel,
+        H=H, W=W, n_rows=n_rows, whitepoint=whitepoint,
+        deltaE=deltaE, precision=precision,
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid=(n_cols, pop),
+        in_specs=[
+            pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p: (p, 0, 0, s)),
+            pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p: (p, 0, 0, s + 1)),
+            pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p: (p, 0, 0, s + 2)),
+            pl.BlockSpec((3, Hp, BLOCK), lambda s, p: (0, 0, s)),
+            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
+            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
+            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
+            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
+            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
+            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK, BLOCK), lambda s, p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((pop, BLOCK, BLOCK), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((7, Hg, BLOCK), jnp.float32)],
+        # 3 double-buffered (3, Hg, 128) column blocks + the (7, Hg, 128)
+        # scratch exceed Mosaic's default 16 MB scoped-vmem budget; the chip
+        # has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q_g, q_g, q_g, target, ah, bh, ch, avt, bvt, cvt)
+    return jnp.sum(acc, axis=(1, 2))

@@ -91,9 +91,15 @@ def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: Quantiza
             feats_padded = image_padded.reshape(-1, 3)
             if cfg.assignment_space == "lab":
                 feats_padded = cs.srgb_to_lab(feats_padded, wp)
-            ctx["x8"] = pa.pack_pixels(feats_padded)
+            ctx["x4"] = pa.pack_pixels(feats_padded)
+            # Planar zero-padded target for the fused fitness kernel (the
+            # pad region is masked out of the Delta-E sum in-kernel).
+            ctx["target_planar"] = jnp.pad(
+                jnp.moveaxis(target_lab, -1, 0),
+                ((0, 0), (0, Hp - H), (0, Wp - W)),
+            )
         else:
-            ctx["x8"] = pa.pack_pixels(assign_pixels)
+            ctx["x4"] = pa.pack_pixels(assign_pixels)
     return ctx
 
 
@@ -116,7 +122,9 @@ def make_fitness(
         pal_feats = (
             cs.srgb_to_lab(palette, ctx["whitepoint"]) if lab_assign else palette
         )
-        idx = assign_ops.nearest_palette(ctx["assign_pixels"], pal_feats)
+        idx = assign_ops.nearest_palette(
+            ctx["assign_pixels"], pal_feats, precision=cfg.precision
+        )
         usage = assign_ops.palette_usage(idx, palette.shape[0])
 
         # Gather the *precomputed* opponent-space palette instead of
@@ -166,6 +174,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
         return fn
 
     from .ops import pallas_assign as pa
+    from .ops import fused_fitness as ff
     from .ops.band_conv import BLOCK, conv_h_valid, conv_v_valid, padded_plan
 
     H, W, _ = ctx["target_lab"].shape
@@ -174,6 +183,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
     lab_assign = cfg.assignment_space == "lab"
     interpret = jax.default_backend() != "tpu"
     SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent-channel source
+    use_fused = pad_ok and cfg.deltaE in ff.FUSED_DELTA_E
 
     def pop_fitness(palettes: jax.Array):
         pop = palettes.shape[0]
@@ -187,17 +197,45 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
             ctx["assign_pixels"],
             pal_feats,
             opp_palettes,
-            x8=ctx["x8"],
+            x4=ctx["x4"],
             num_pixels=Hp * Wp if pad_ok else H * W,
             interpret=interpret,
+            precision=cfg.precision,
         )
 
-        if pad_ok:
+        def penalties(use):
+            return jax.vmap(
+                lambda u: schedule.unused_penalty(u, cfg.swasa.delta)
+            )(use)
+
+        if use_fused:
             # Fast path: the assign kernel already emitted a mirror-padded
-            # image; add one guard block per side (the only per-eval copy)
-            # and run two pure-VALID block-space convs — no conv-internal
-            # padding, no edge corrections (1.6x the padded-conv variant,
-            # measured).
+            # image; add one guard block per side (the only per-eval HBM
+            # copy) and run the single fused Pallas kernel — both conv
+            # passes, the 7-channel intermediate (VMEM-resident), Opp->LAB,
+            # Delta-E, and the masked mean-reduction never leave the chip.
+            q = opp.reshape(pop, 3, Hp, Wp)
+            q2 = jnp.pad(
+                q, ((0, 0), (0, 0), (BLOCK, BLOCK), (BLOCK, BLOCK)),
+                mode="symmetric",
+            )
+            sums = ff.fused_scielab_err_sums(
+                q2,
+                ctx["target_planar"],
+                ctx["mats_h"],
+                ctx["mats_v"],
+                tuple(cs.WHITEPOINTS[cfg.scielab.whitepoint].tolist()),
+                H=H, W=W,
+                deltaE=cfg.deltaE,
+                precision=cfg.precision,
+                interpret=interpret,
+            )
+            return sums / (H * W) + penalties(usage), usage
+
+        if pad_ok:
+            # XLA block-space conv path (kept for CIEDE2000): two pure-VALID
+            # convs on the guard-padded image — no conv-internal padding, no
+            # edge corrections (1.6x the padded-conv variant, measured).
             q = opp.reshape(pop, 3, Hp, Wp)
             q2 = jnp.pad(
                 q, ((0, 0), (0, 0), (BLOCK, BLOCK), (BLOCK, BLOCK)),

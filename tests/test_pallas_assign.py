@@ -22,7 +22,9 @@ def test_single_matches_jnp(rng, P, K):
     opp_pal = cs.srgb_to_opp(pal)
     idx_ref = np.asarray(aj.nearest_palette(feats, pal))
 
-    opp, usage = pa.assign_opp_usage(feats, pal, opp_pal, block=1024, interpret=True)
+    opp, usage = pa.assign_opp_usage(
+        feats, pal, opp_pal, block=1024, interpret=True, precision="highest"
+    )
     np.testing.assert_allclose(
         np.asarray(opp), np.asarray(opp_pal)[idx_ref].T, atol=1e-5
     )
@@ -30,7 +32,11 @@ def test_single_matches_jnp(rng, P, K):
     want_usage[idx_ref] = True
     np.testing.assert_array_equal(np.asarray(usage), want_usage)
 
-    idx = np.asarray(pa.nearest_palette_pallas(feats, pal, block=1024, interpret=True))
+    idx = np.asarray(
+        pa.nearest_palette_pallas(
+            feats, pal, block=1024, interpret=True, precision="highest"
+        )
+    )
     np.testing.assert_array_equal(idx, idx_ref)
 
 
@@ -39,7 +45,9 @@ def test_population_matches_jnp(rng):
     feats = jnp.asarray(rng.random((P, 3), dtype=np.float32))
     pals = jnp.asarray(rng.random((pop, K, 3), dtype=np.float32))
     opps = jax.vmap(cs.srgb_to_opp)(pals)
-    opp, usage = pa.assign_opp_usage_pop(feats, pals, opps, block=1024, interpret=True)
+    opp, usage = pa.assign_opp_usage_pop(
+        feats, pals, opps, block=1024, interpret=True, precision="highest"
+    )
     for p in range(pop):
         idx = np.asarray(aj.nearest_palette(feats, pals[p]))
         np.testing.assert_allclose(
@@ -63,13 +71,62 @@ def test_padding_does_not_mark_usage(rng):
     np.testing.assert_array_equal(np.asarray(usage), [False, True, False, False])
 
 
-def test_tie_breaks_first_index():
+@pytest.mark.parametrize("precision", ["highest", "f32x3", "bf16"])
+def test_tie_breaks_first_index(precision):
+    """Exact first-index ties in every precision mode.
+
+    The one-hot is built max -> eq -> min-index (not argmax): Mosaic's
+    argmax does not guarantee first-index ties on hardware (measured), and
+    duplicate palette entries (e.g. clamped proposals) tie exactly — the
+    reference's strict-less scan keeps the first
+    (OptimizedConvolution.cl:158-167), and the unused-duplicate penalty
+    depends on it.
+    """
     pal = jnp.asarray(
         [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [0.9, 0.9, 0.9]], jnp.float32
     )
     feats = jnp.asarray([[0.51, 0.5, 0.5], [0.9, 0.9, 0.9]], jnp.float32)
-    idx = np.asarray(pa.nearest_palette_pallas(feats, pal, block=128, interpret=True))
+    idx = np.asarray(
+        pa.nearest_palette_pallas(
+            feats, pal, block=128, interpret=True, precision=precision
+        )
+    )
     np.testing.assert_array_equal(idx, [0, 2])
+    # duplicate entries must not double-mark usage / double-sum the winner
+    opp, usage = pa.assign_opp_usage(
+        feats, pal, pal, block=128, interpret=True, precision=precision
+    )
+    np.testing.assert_array_equal(np.asarray(usage), [True, False, True])
+    np.testing.assert_allclose(np.asarray(opp).T, np.asarray(pal)[[0, 2]])
+
+
+@pytest.mark.parametrize("precision", ["f32x3", "bf16"])
+def test_reduced_precision_flip_rate(rng, precision):
+    """f32x3/bf16 scores may flip only near-tied assignments.
+
+    Every flip must be between palette entries whose true f32 distances
+    differ by less than the mode's error bound (f32x3: dropped lo*lo terms
+    are ~2^-18 per product, ~3e-5 on the distance over 4 contraction terms;
+    bf16 ~2e-2) — i.e. the flips are quality-neutral near-ties, never gross
+    misassignments.
+    """
+    P, K = 8192, 64
+    feats, pal = _data(rng, P, K)
+    idx_ref = np.asarray(aj.nearest_palette(feats, pal, precision="highest"))
+    idx = np.asarray(
+        pa.nearest_palette_pallas(
+            feats, pal, block=1024, interpret=True, precision=precision
+        )
+    )
+    flips = np.nonzero(idx != idx_ref)[0]
+    d = np.asarray(feats)[:, None, :] - np.asarray(pal)[None, :, :]
+    dist2 = (d * d).sum(-1)
+    bound = 4e-5 if precision == "f32x3" else 4e-2
+    for p in flips:
+        gap = abs(dist2[p, idx[p]] - dist2[p, idx_ref[p]])
+        assert gap < bound, (p, idx[p], idx_ref[p], gap)
+    if precision == "f32x3":
+        assert len(flips) <= P // 1000  # ~exact: <0.1% even on random data
 
 
 @pytest.mark.parametrize("space", ["srgb", "lab"])
@@ -91,6 +148,7 @@ def test_padded_pallas_fitness_matches_jnp(rng, space):
             swasa=SWASAConfig(num_colors=6, population=2),
             use_pallas=mode,
             assignment_space=space,
+            precision="highest",  # f32x3 arithmetic differs between paths
         )
         q = HybridQuantizer(cfg)
         ctx = _make_context(jnp.asarray(img), q.filters, cfg)
@@ -125,3 +183,34 @@ def test_pipeline_with_pallas_forced(rng):
         e, u = single(pals[p])
         assert float(errs[p]) == pytest.approx(float(e), rel=1e-5)
         np.testing.assert_array_equal(np.asarray(usage[p]), np.asarray(u))
+
+
+@pytest.mark.parametrize("de", ["CIE94", "CIEDE2000"])
+def test_fused_fitness_delta_e_variants(rng, de):
+    """CIE94 runs through the fused kernel; CIEDE2000 falls back to the XLA
+    conv path — both must match the unfused jnp fitness."""
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.pipeline import (
+        HybridQuantizer,
+        _make_context,
+        make_population_fitness,
+    )
+
+    img = rng.random((200, 150, 3), dtype=np.float32)  # pad_ok dims
+    pals = jnp.asarray(rng.random((2, 6, 3), dtype=np.float32))
+    res = {}
+    for mode in ["on", "off"]:
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=6, population=2),
+            use_pallas=mode,
+            deltaE=de,
+            precision="highest",
+        )
+        q = HybridQuantizer(cfg)
+        ctx = _make_context(jnp.asarray(img), q.filters, cfg)
+        e, u = jax.jit(make_population_fitness(ctx, cfg, q.filters.half_width))(
+            pals
+        )
+        res[mode] = (np.asarray(e), np.asarray(u))
+    np.testing.assert_allclose(res["on"][0], res["off"][0], atol=2e-5)
+    np.testing.assert_array_equal(res["on"][1], res["off"][1])
