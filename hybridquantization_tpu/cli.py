@@ -47,6 +47,22 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--profile", metavar="LOGDIR",
         help="capture a jax.profiler trace of the run into LOGDIR",
     )
+    g = p.add_argument_group("precision")
+    g.add_argument(
+        "--precision", choices=["highest", "f32x3", "bf16"], default="f32x3",
+        help="TPU matmul precision for assignment scores and the S-CIELAB "
+        "filter (default f32x3: ~f32-exact, 2x faster than highest)",
+    )
+    g.add_argument(
+        "--tie-mode", choices=["first", "average"], default="first",
+        help="exact-score tie handling in the assignment kernel (default "
+        "'first' = reference semantics; 'average' is faster)",
+    )
+    g.add_argument(
+        "--fast", action="store_true",
+        help="shorthand for --precision bf16 --tie-mode average (validated "
+        "within the 1%% quality-parity budget; docs/PERFORMANCE.md)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -134,6 +150,8 @@ def _config_from_args(args) -> QuantizationConfig:
         ),
         deltaE=args.delta_e,
         assignment_space=getattr(args, "assignment_space", "srgb"),
+        precision="bf16" if args.fast else args.precision,
+        tie_mode="average" if args.fast else args.tie_mode,
         verbose=args.verbose,
         seed=getattr(args, "seed", 0),
     )

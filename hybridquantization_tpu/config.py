@@ -56,6 +56,12 @@ class QuantizationConfig:
       still inside the 1% quality-parity budget, validate per-use with
       tools/parity_check). The reference computes f32 distances
       (OptimizedConvolution.cl:155).
+    tie_mode: exact-score tie handling in the Pallas assignment kernel —
+      "first" picks the lowest palette index like the reference's
+      strict-less scan (OptimizedConvolution.cl:158-167); "average" returns
+      the mean of the tied colors and marks all of them used, trading
+      tie exactness (ties are measure-zero for continuous palettes) for
+      roughly half the kernel's VPU work (ops/pallas_assign.py module doc).
     """
 
     swasa: SWASAConfig = SWASAConfig()
@@ -63,6 +69,7 @@ class QuantizationConfig:
     deltaE: str = "CIE76"
     assignment_space: str = "srgb"
     precision: str = "f32x3"      # "highest" | "f32x3" | "bf16"
+    tie_mode: str = "first"       # "first" | "average"
     verbose: bool = False
     seed: int = 0
     progress_every: int = 10      # host progress cadence (ImageManipulation.java:546)

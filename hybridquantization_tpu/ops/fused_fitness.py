@@ -137,9 +137,14 @@ def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(
-    qL, qM, qR, tgt, ah, bh, ch, avt, bvt, cvt, acc, t7,
-    *, H, W, n_rows, whitepoint, deltaE, precision,
+    hw, qL, qM, qR, tgt, ah, bh, ch, avt, bvt, cvt, acc, t7,
+    *, n_rows, whitepoint, deltaE, precision,
 ):
+    # hw: scalar-prefetched (2,) int32 [H_valid, W_valid] — dynamic so the
+    # same compiled kernel serves every shard of a column-sharded image
+    # (parallel.sharded fast path), where only the last shard masks columns.
+    H = hw[0]
+    W = hw[1]
     s = pl.program_id(0)
 
     # -- horizontal pass into the VMEM scratch -------------------------------
@@ -204,8 +209,9 @@ def fused_scielab_err_sums(
     mats_v,
     whitepoint: tuple,
     *,
-    H: int,
-    W: int,
+    H: int | None = None,
+    W: int | None = None,
+    hw: jnp.ndarray | None = None,
     deltaE: str = "CIE76",
     precision: str = "f32x3",
     interpret: bool = False,
@@ -215,9 +221,14 @@ def fused_scielab_err_sums(
     q_g (pop, 3, Hg, Wg) guard-padded opponent image; target (3, Hp, Wp)
     planar target LAB; whitepoint a STATIC 3-tuple of floats; mats_h/mats_v
     from scielab.transform.band_matrices (the E edge matrices are unused —
-    edges are baked into the guards).
+    edges are baked into the guards). The valid region is (H, W) static ints
+    or `hw` a (2,) int32 array (dynamic — for per-shard masks under
+    shard_map); rows >= H or columns >= W are excluded from the sums.
     """
     pop, _, Hg, Wg = q_g.shape
+    if hw is None:
+        hw = jnp.asarray([H, W], jnp.int32)
+    hw = hw.astype(jnp.int32)
     Hp, Wp = Hg - 2 * BLOCK, Wg - 2 * BLOCK
     assert target.shape == (3, Hp, Wp), (target.shape, Hp, Wp)
     n_cols = Wp // BLOCK
@@ -229,27 +240,30 @@ def fused_scielab_err_sums(
     )
     kernel = functools.partial(
         _fused_kernel,
-        H=H, W=W, n_rows=n_rows, whitepoint=whitepoint,
+        n_rows=n_rows, whitepoint=whitepoint,
         deltaE=deltaE, precision=precision,
     )
     acc = pl.pallas_call(
         kernel,
-        grid=(n_cols, pop),
-        in_specs=[
-            pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p: (p, 0, 0, s)),
-            pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p: (p, 0, 0, s + 1)),
-            pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p: (p, 0, 0, s + 2)),
-            pl.BlockSpec((3, Hp, BLOCK), lambda s, p: (0, 0, s)),
-            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
-            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
-            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
-            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
-            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
-            pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK, BLOCK), lambda s, p: (p, 0, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_cols, pop),
+            in_specs=[
+                pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p, hw: (p, 0, 0, s)),
+                pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p, hw: (p, 0, 0, s + 1)),
+                pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p, hw: (p, 0, 0, s + 2)),
+                pl.BlockSpec((3, Hp, BLOCK), lambda s, p, hw: (0, 0, s)),
+                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
+                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
+                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
+                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
+                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
+                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK, BLOCK), lambda s, p, hw: (p, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((7, Hg, BLOCK), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((pop, BLOCK, BLOCK), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((7, Hg, BLOCK), jnp.float32)],
         # 3 double-buffered (3, Hg, 128) column blocks + the (7, Hg, 128)
         # scratch exceed Mosaic's default 16 MB scoped-vmem budget; the chip
         # has 128 MB.
@@ -257,5 +271,5 @@ def fused_scielab_err_sums(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(q_g, q_g, q_g, target, ah, bh, ch, avt, bvt, cvt)
+    )(hw, q_g, q_g, q_g, target, ah, bh, ch, avt, bvt, cvt)
     return jnp.sum(acc, axis=(1, 2))

@@ -43,6 +43,17 @@ palette values at HIGHEST; K is tiny so its cost is negligible).
 Padding: P is padded to the block size (padded lanes masked out of usage and
 never read back); K is padded to a sublane multiple with bias -inf so dummy
 entries never win.
+
+Tie handling (`tie_mode`): the VPU chain above (max -> eq -> min-index -> eq,
+~6 K-length passes per pixel) exists only to break exact-score ties toward
+the first palette index like the reference's strict-less scan. "average"
+replaces it with a 2-pass hit mask (max -> eq) and computes the winner color
+as an MXU hit-average — O4 gains a ones row so one matmul yields both the
+summed color and the hit count; ties return the mean of the tied colors and
+mark every tied entry used. Identical to "first" whenever the maximum score
+is unique (random continuous palettes: ties are measure-zero apart from
+duplicate palette entries, whose average IS the color), and roughly halves
+the kernel's VPU-bound portion.
 """
 
 from __future__ import annotations
@@ -60,6 +71,7 @@ DEFAULT_BLOCK = 4096
 _NEG = -1e30  # effectively -inf for padded palette entries
 
 PRECISIONS = ("highest", "f32x3", "bf16")
+TIE_MODES = ("first", "average")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -90,6 +102,7 @@ def pack_palette(pal_feats: jnp.ndarray, opp_palette: jnp.ndarray):
     c4 = c4.at[3, K:].set(_NEG)  # padded entries never win
     o4 = jnp.zeros((4, kp), opp_palette.dtype)
     o4 = o4.at[0:3, :K].set(opp_palette.T)
+    o4 = o4.at[3, :K].set(1.0)  # count row (used by tie_mode="average")
     return c4, o4
 
 
@@ -148,8 +161,16 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
 # Kernels
 # ---------------------------------------------------------------------------
 
+def _hit_mask(scores: jnp.ndarray, valid: jnp.ndarray):
+    """(K_pad, BP) f32 mask of every per-column maximum (2 VPU passes)."""
+    m = jnp.max(scores, axis=0)
+    hit = (scores == m[None, :]) & valid
+    return jnp.where(hit, 1.0, 0.0).astype(jnp.float32)
+
+
 def _assign_opp_pop_kernel(
-    n_ref, x_ref, c_ref, o_ref, opp_ref, usage_ref, *, precision: str
+    n_ref, x_ref, c_ref, o_ref, opp_ref, usage_ref, *, precision: str,
+    tie_mode: str,
 ):
     """Population assignment, one grid step per PIXEL BLOCK.
 
@@ -170,7 +191,12 @@ def _assign_opp_pop_kernel(
 
     for p in range(pop):
         scores = _scores(c_ref[p], x, xsplit, precision)
-        onehot_f = _first_max_onehot(scores, valid)
+        if tie_mode == "average":
+            # 2-pass hit mask; O4's ones row turns the winner-gather matmul
+            # into (summed color, hit count) so ties average on the MXU.
+            onehot_f = _hit_mask(scores, valid)
+        else:
+            onehot_f = _first_max_onehot(scores, valid)
 
         # Winner gather as an MXU one-hot contraction — exact at HIGHEST
         # (each output is a single f32 palette value; K is tiny so the
@@ -181,7 +207,11 @@ def _assign_opp_pop_kernel(
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (4, BP)
-        opp_ref[p, :, :] = opp[0:3, :]
+        if tie_mode == "average":
+            inv = 1.0 / jnp.maximum(opp[3:4, :], 1.0)
+            opp_ref[p, :, :] = opp[0:3, :] * inv
+        else:
+            opp_ref[p, :, :] = opp[0:3, :]
 
         counts = jax.lax.dot_general(
             onehot_f, x_ref[3:4, :],
@@ -216,7 +246,7 @@ def _assign_idx_kernel(n_ref, x_ref, c_ref, idx_ref, *, precision: str):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "interpret", "precision")
+    jax.jit, static_argnames=("block", "interpret", "precision", "tie_mode")
 )
 def assign_opp_pop(
     x4: jnp.ndarray,
@@ -227,6 +257,7 @@ def assign_opp_pop(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     precision: str = "f32x3",
+    tie_mode: str = "first",
 ):
     """Population assignment: c4/o4 (pop, 4, K_pad) -> (opp (pop, 3, P_pad),
     usage (pop, K_pad, 1)). num_pixels: () int32 true pixel count."""
@@ -237,7 +268,9 @@ def assign_opp_pop(
     n = jnp.reshape(num_pixels.astype(jnp.int32), (1,))
 
     opp, usage = pl.pallas_call(
-        functools.partial(_assign_opp_pop_kernel, precision=precision),
+        functools.partial(
+            _assign_opp_pop_kernel, precision=precision, tie_mode=tie_mode
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -306,6 +339,7 @@ def assign_opp_usage(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     precision: str = "f32x3",
+    tie_mode: str = "first",
 ):
     """Fused assignment for a single palette.
 
@@ -324,6 +358,7 @@ def assign_opp_usage(
         block=block,
         interpret=interpret,
         precision=precision,
+        tie_mode=tie_mode,
     )
     return opp[0], usage[0]
 
@@ -338,6 +373,7 @@ def assign_opp_usage_pop(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     precision: str = "f32x3",
+    tie_mode: str = "first",
 ):
     """Population-fused assignment.
 
@@ -351,6 +387,7 @@ def assign_opp_usage_pop(
       num_pixels: pixel count when x4 was packed from a different (e.g.
         mirror-padded) pixel set than `features`.
       precision: scores-matmul precision, one of PRECISIONS (module doc).
+      tie_mode: "first" (exact reference tie-break) or "average" (module doc).
 
     Returns:
       (opp (pop, 3, P) f32, usage (pop, K) bool).
@@ -362,7 +399,7 @@ def assign_opp_usage_pop(
     c4, o4 = jax.vmap(pack_palette)(pal_feats, opp_palettes)
     opp, usage = assign_opp_pop(
         x4, c4, o4, jnp.int32(P), block=block, interpret=interpret,
-        precision=precision,
+        precision=precision, tie_mode=tie_mode,
     )
     return opp[:, :, :P], usage[:, :K, 0] > 0.0
 

@@ -15,6 +15,7 @@ from .sharded import (
     scielab_filter_strip,
     strip_scielab,
 )
+from .fast import build_sharded_fast_fns, plan_fast
 from .batch import ShardedBatchQuantizer
 
 __all__ = [
@@ -27,6 +28,8 @@ __all__ = [
     "conv1d_vertical_sharded",
     "exchange_row_halos",
     "build_sharded_fns",
+    "build_sharded_fast_fns",
+    "plan_fast",
     "make_strip_fitness",
     "scielab_filter_strip",
     "strip_scielab",

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import QuantizationConfig
 from ..scielab.filters import build_filters
+from . import fast
 from .mesh import DATA_AXIS, PIXEL_AXIS, make_mesh
 from .sharded import build_sharded_fns
 
@@ -31,15 +32,28 @@ class ShardedBatchQuantizer:
         out = q.quantize(images, palettes)
     """
 
-    def __init__(self, config: QuantizationConfig | None = None, mesh=None):
+    def __init__(
+        self, config: QuantizationConfig | None = None, mesh=None,
+        strategy: str = "auto",
+    ):
+        """strategy: "auto" picks the column-sharded Pallas-fitness path
+        (parallel.fast) whenever the image shape and config allow it and
+        falls back to the row-sharded XLA path; "rows" / "columns" force
+        one. The fast path needs Pallas (TPU, or interpret elsewhere)."""
         self.config = config or QuantizationConfig()
         self.mesh = mesh if mesh is not None else make_mesh(1, None)
+        self.strategy = strategy
         self.filters = build_filters(
             self.config.scielab.dpi, self.config.scielab.viewing_distance_cm
         )
         self._prepare, self._init, self._chunk, self._quantize = build_sharded_fns(
             self.mesh, self.config, self.filters
         )
+        self._fast_fns = None
+        if strategy != "rows" and fast.supports_fast(self.config):
+            self._fast_fns = fast.build_sharded_fast_fns(
+                self.mesh, self.config, self.filters
+            )
 
     @property
     def n_data(self) -> int:
@@ -63,6 +77,21 @@ class ShardedBatchQuantizer:
                 f"half-width {self.filters.half_width}"
             )
 
+    def _use_fast(self, images) -> bool:
+        """Column-sharded Pallas fitness when the shape/config allow it."""
+        if self._fast_fns is None:
+            return False
+        B, H, W, _ = images.shape
+        *_, ok = fast.plan_fast(H, W, self.filters.half_width, self.n_pixel)
+        if self.strategy == "columns":
+            if not ok:
+                raise ValueError(
+                    f"columns strategy infeasible for {H}x{W} over "
+                    f"{self.n_pixel} shards (mirror pad exceeds image)"
+                )
+            return True
+        return ok and jax.default_backend() == "tpu"
+
     def find_palettes(self, images, seeds=None, progress=None, chunk_size=None):
         """(B, K, 3) palettes + info. images: (B, H, W, 3) float sRGB."""
         cfg = self.config
@@ -73,8 +102,12 @@ class ShardedBatchQuantizer:
             seeds = np.arange(B, dtype=np.uint32) + cfg.seed
         keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
 
-        targets = self._prepare(images)
-        state = self._init(images, targets, keys)
+        prepare, init_fn, chunk_fn = self._prepare, self._init, self._chunk
+        if self._use_fast(images):
+            prepare, init_fn, chunk_fn, _ = self._fast_fns
+
+        targets = prepare(images)
+        state = init_fn(images, targets, keys)
 
         imax = cfg.swasa.imax
         chunk = chunk_size or max(cfg.progress_every, 1)
@@ -83,7 +116,7 @@ class ShardedBatchQuantizer:
         traj = []
         while done < imax:
             n = min(chunk, imax - done)
-            state, telemetry = self._chunk(state, images, targets, n)
+            state, telemetry = chunk_fn(state, images, targets, n)
             done += n
             traj.append(jax.device_get(telemetry["best_error"][:, -1]))
             if progress is not None:

@@ -201,6 +201,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
             num_pixels=Hp * Wp if pad_ok else H * W,
             interpret=interpret,
             precision=cfg.precision,
+            tie_mode=cfg.tie_mode,
         )
 
         def penalties(use):

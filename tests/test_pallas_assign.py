@@ -100,6 +100,51 @@ def test_tie_breaks_first_index(precision):
     np.testing.assert_allclose(np.asarray(opp).T, np.asarray(pal)[[0, 2]])
 
 
+def test_tie_mode_average_matches_first_when_unique(rng):
+    """tie_mode='average' is exact wherever the maximum score is unique."""
+    P, K, pop = 4096 + 511, 16, 3
+    feats = jnp.asarray(rng.random((P, 3), dtype=np.float32))
+    pals = jnp.asarray(rng.random((pop, K, 3), dtype=np.float32))
+    opps = jax.vmap(cs.srgb_to_opp)(pals)
+    kw = dict(block=1024, interpret=True, precision="highest")
+    opp_f, use_f = pa.assign_opp_usage_pop(feats, pals, opps, tie_mode="first", **kw)
+    opp_a, use_a = pa.assign_opp_usage_pop(feats, pals, opps, tie_mode="average", **kw)
+    np.testing.assert_allclose(np.asarray(opp_a), np.asarray(opp_f), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(use_a), np.asarray(use_f))
+
+
+def test_tie_mode_average_semantics():
+    """Exact ties: winner color = mean of tied entries, all ties marked used.
+
+    Duplicate palette entries (the common tie source: clamped proposals)
+    average to the duplicated color itself, so only the usage flags differ
+    from 'first' there.
+    """
+    pal = jnp.asarray(
+        [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [0.9, 0.9, 0.9]], jnp.float32
+    )
+    feats = jnp.asarray([[0.51, 0.5, 0.5], [0.9, 0.9, 0.9]], jnp.float32)
+    opp, usage = pa.assign_opp_usage(
+        feats, pal, pal, block=128, interpret=True, precision="highest",
+        tie_mode="average",
+    )
+    # duplicates: average == the color; both duplicates marked used
+    np.testing.assert_allclose(
+        np.asarray(opp).T, np.asarray(pal)[[0, 2]], atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(usage), [True, True, True])
+
+    # distinct equidistant entries -> mean color
+    pal2 = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]], jnp.float32)
+    feats2 = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)
+    opp2, usage2 = pa.assign_opp_usage(
+        feats2, pal2, pal2, block=128, interpret=True, precision="highest",
+        tie_mode="average",
+    )
+    np.testing.assert_allclose(np.asarray(opp2).T, [[0.5, 0.5, 0.5]], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(usage2), [True, True])
+
+
 @pytest.mark.parametrize("precision", ["f32x3", "bf16"])
 def test_reduced_precision_flip_rate(rng, precision):
     """f32x3/bf16 scores may flip only near-tied assignments.

@@ -51,7 +51,15 @@ def main() -> int:
     ap.add_argument("--population", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--tolerance", type=float, default=0.01, help="relative gap for PASS")
+    ap.add_argument("--precision", default="f32x3", choices=["highest", "f32x3", "bf16"])
+    ap.add_argument("--tie-mode", default="first", choices=["first", "average"])
+    ap.add_argument(
+        "--fast", action="store_true",
+        help="validate the fast mode: --precision bf16 --tie-mode average",
+    )
     args = ap.parse_args()
+    if args.fast:
+        args.precision, args.tie_mode = "bf16", "average"
 
     import jax
 
@@ -72,8 +80,11 @@ def main() -> int:
     cfg = QuantizationConfig(
         swasa=SWASAConfig(
             num_colors=args.colors, population=args.population, imax=args.imax
-        )
+        ),
+        precision=args.precision,
+        tie_mode=args.tie_mode,
     )
+    print(f"engine precision={args.precision} tie_mode={args.tie_mode}")
     engine = HybridQuantizer(cfg)
     ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
     target = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
