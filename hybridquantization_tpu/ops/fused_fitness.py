@@ -5,9 +5,9 @@ computeScielabKernelsTemp -> computeScielabKernelsEnd -> Opp2LAB -> CIEDE ->
 mean (OptimizedConvolution.cl:234-306,124-145,201-232 and the host readback
 ImageManipulation.java:653-714) into ONE Pallas kernel:
 
-  for each 128-column stripe of the (guard-padded) opponent image:
+  for each 128-column stripe of the opponent image:
     1. horizontal pass: 7 banded-matmul filters (ops.band_conv matrices)
-       into a VMEM-resident (7, Hg, 128) intermediate — the reference's
+       into a VMEM-resident (7, Hp, 128) intermediate — the reference's
        "temp" buffers and our previous XLA path both round-tripped this
        7-channel image through HBM twice; here it never leaves the chip.
     2. vertical pass per 128-row block: banded matmuls, 7 -> 3 channel
@@ -17,19 +17,36 @@ ImageManipulation.java:653-714) into ONE Pallas kernel:
 
   err_sum[member] = sum(acc) outside the kernel; mean = err_sum / (H*W).
 
-HBM traffic per evaluation drops from ~14 channel-images (t7 out+in, y7
-out+in via XLA fusion boundaries) to: read q (x2 overlap for column halos),
-read target once per member — everything else stays in VMEM.
+Edge handling is GUARD-FREE: the half-sample symmetric reflection at the
+image borders (OptimizedConvolution.cl:21-27) folds into the constant band
+matrices. With R the (128, 128) reversal (anti-identity), the mirror guard
+block equals (edge block) @ R for columns and R @ (edge block) for rows, so
+
+    guard @ A  ==  edge @ (R @ A)        (left column guard)
+    A^T @ guard == (A^T @ R) @ edge      (top row guard)
+
+i.e. edge stripes/blocks simply use precomputed alternate matrices — zero
+runtime flips, zero guard-padding copies. The previous formulation padded a
+one-block symmetric guard around the image per evaluation, a full extra
+HBM round-trip of the population image that measured 31 ms at 4K/pop4
+(docs/PERFORMANCE.md) — ~35% of the whole SWASA iteration.
+
+For column-sharded execution (parallel.fast), `edges="slabs"` takes the two
+128-column neighbor slabs (ppermuted over ICI, or local mirrors at true
+image edges) as separate kernel inputs instead of using the mirror
+matrices; rows are always mirror-folded (every shard holds full columns).
+
+HBM traffic per evaluation: read q (x3 stripe overlap), read target once
+per member — everything else stays in VMEM.
 
 Precision modes (matmuls): "highest" (f32, 6 bf16 MXU passes), "f32x3"
 (hi/lo bf16 split, 3 passes, |err| ~1e-7 — default), "bf16" (1 pass, fast).
 The Delta-E/LAB tail is always f32 VPU math.
 
 Layout contract (from pipeline._make_context / ops.band_conv.padded_plan):
-  q_g:    (pop, 3, Hg, Wg) opponent image, mirror-padded to (Hp, Wp) 128-
-          multiples at image build time plus one 128-guard block per side
-          (jnp.pad mode="symmetric"), so both passes are pure-VALID:
-          Hg = Hp + 256, Wg = Wp + 256.
+  q:      (pop, 3, Hp, Wp) opponent image, mirror-padded to 128-multiples
+          at image build time (jnp.pad mode="symmetric" beyond the true
+          H x W), so both passes are pure-VALID.
   target: (3, Hp, Wp) planar target S-CIELAB (pad region don't-care).
 """
 
@@ -49,6 +66,8 @@ BLOCK = 128
 SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent source channel
 
 FUSED_DELTA_E = ("CIE76", "CIE94")  # CIEDE2000 falls back to the XLA path
+
+_R = np.eye(BLOCK, dtype=np.float32)[::-1].copy()  # reversal (anti-identity)
 
 
 # ---------------------------------------------------------------------------
@@ -137,23 +156,51 @@ def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(
-    hw, qL, qM, qR, tgt, ah, bh, ch, avt, bvt, cvt, acc, t7,
-    *, n_rows, whitepoint, deltaE, precision,
+    hw, *refs,
+    n_rows, n_cols, whitepoint, deltaE, precision, edges,
 ):
     # hw: scalar-prefetched (2,) int32 [H_valid, W_valid] — dynamic so the
     # same compiled kernel serves every shard of a column-sharded image
-    # (parallel.sharded fast path), where only the last shard masks columns.
+    # (parallel.fast), where only the last shard masks columns.
+    if edges == "slabs":
+        (qL, qM, qR, ls, rs, tgt,
+         ah, bh, ch, avt, bvt, cvt, avtL, cvtR, acc, t7) = refs
+        ahL = chR = None
+    else:
+        (qL, qM, qR, tgt,
+         ah, bh, ch, ahL, chR, avt, bvt, cvt, avtL, cvtR, acc, t7) = refs
+        ls = rs = None
     H = hw[0]
     W = hw[1]
     s = pl.program_id(0)
+    is_left = s == 0
+    is_right = s == n_cols - 1
 
     # -- horizontal pass into the VMEM scratch -------------------------------
+    # Edge stripes: "mirror" swaps in the R-folded matrices (qL/qR index maps
+    # are clamped, so the edge stripe reads itself); "slabs" swaps in the
+    # neighbor-slab VALUES (one select per channel, slabs stay VMEM-resident
+    # across the grid since their index maps are constant).
+    if edges == "slabs":
+        xl = [
+            jnp.where(is_left, ls[0, c], qL[0, c]) for c in range(3)
+        ]
+        xr = [
+            jnp.where(is_right, rs[0, c], qR[0, c]) for c in range(3)
+        ]
     for f in range(7):
         c = SRC7[f]
+        if edges == "slabs":
+            xL, xR = xl[c], xr[c]
+            mA, mC = ah[f], ch[f]
+        else:
+            xL, xR = qL[0, c], qR[0, c]
+            mA = jnp.where(is_left, ahL[f], ah[f])
+            mC = jnp.where(is_right, chR[f], ch[f])
         t7[f] = (
-            _mm(qL[0, c], ah[f], precision)
+            _mm(xL, mA, precision)
             + _mm(qM[0, c], bh[f], precision)
-            + _mm(qR[0, c], ch[f], precision)
+            + _mm(xR, mC, precision)
         )
 
     @pl.when(s == 0)
@@ -166,15 +213,21 @@ def _fused_kernel(
     # -- vertical pass + LAB + Delta-E + masked accumulation -----------------
     def body(r, carry):
         row0 = r * BLOCK
+        prev0 = jnp.maximum(r - 1, 0) * BLOCK
+        next0 = jnp.minimum(r + 1, n_rows - 1) * BLOCK
+        is_top = r == 0
+        is_bot = r == n_rows - 1
         y = []
         for f in range(7):
-            w0 = t7[f, pl.ds(row0, BLOCK), :]
-            w1 = t7[f, pl.ds(row0 + BLOCK, BLOCK), :]
-            w2 = t7[f, pl.ds(row0 + 2 * BLOCK, BLOCK), :]
+            w0 = t7[f, pl.ds(prev0, BLOCK), :]
+            w1 = t7[f, pl.ds(row0, BLOCK), :]
+            w2 = t7[f, pl.ds(next0, BLOCK), :]
+            mA = jnp.where(is_top, avtL[f], avt[f])
+            mC = jnp.where(is_bot, cvtR[f], cvt[f])
             y.append(
-                _mm(avt[f], w0, precision)
+                _mm(mA, w0, precision)
                 + _mm(bvt[f], w1, precision)
-                + _mm(cvt[f], w2, precision)
+                + _mm(mC, w2, precision)
             )
         o0 = y[0] + y[3] + y[6]
         o1 = y[1] + y[4]
@@ -199,11 +252,11 @@ def _fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "whitepoint", "H", "W", "deltaE", "precision", "interpret"
+        "whitepoint", "H", "W", "deltaE", "precision", "interpret", "edges"
     ),
 )
 def fused_scielab_err_sums(
-    q_g: jnp.ndarray,
+    q: jnp.ndarray,
     target: jnp.ndarray,
     mats_h,
     mats_v,
@@ -215,61 +268,91 @@ def fused_scielab_err_sums(
     deltaE: str = "CIE76",
     precision: str = "f32x3",
     interpret: bool = False,
+    edges: str = "mirror",
+    left_slab: jnp.ndarray | None = None,
+    right_slab: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(pop,) Delta-E sums over the true HxW region (divide by H*W outside).
 
-    q_g (pop, 3, Hg, Wg) guard-padded opponent image; target (3, Hp, Wp)
-    planar target LAB; whitepoint a STATIC 3-tuple of floats; mats_h/mats_v
-    from scielab.transform.band_matrices (the E edge matrices are unused —
-    edges are baked into the guards). The valid region is (H, W) static ints
-    or `hw` a (2,) int32 array (dynamic — for per-shard masks under
-    shard_map); rows >= H or columns >= W are excluded from the sums.
+    q (pop, 3, Hp, Wp) opponent image (UNguarded, 128-multiple dims; mirror
+    samples baked beyond the true H x W); target (3, Hp, Wp) planar target
+    LAB; whitepoint a STATIC 3-tuple of floats; mats_h/mats_v from
+    scielab.transform.band_matrices (the E edge matrices are unused — edge
+    reflection enters via the R-folded matrices, module doc). The valid
+    region is (H, W) static ints or `hw` a (2,) int32 array (dynamic — for
+    per-shard masks under shard_map); rows >= H or columns >= W are excluded
+    from the sums.
+
+    edges="slabs": left_slab/right_slab (pop, 3, Hp, BLOCK) are the column
+    neighbors used by the first/last stripe (parallel.fast ppermutes these
+    over ICI; true image edges carry locally mirrored slabs).
     """
-    pop, _, Hg, Wg = q_g.shape
+    pop, _, Hp, Wp = q.shape
     if hw is None:
         hw = jnp.asarray([H, W], jnp.int32)
     hw = hw.astype(jnp.int32)
-    Hp, Wp = Hg - 2 * BLOCK, Wg - 2 * BLOCK
     assert target.shape == (3, Hp, Wp), (target.shape, Hp, Wp)
     n_cols = Wp // BLOCK
     n_rows = Hp // BLOCK
+    R = jnp.asarray(_R)
     ah, bh, ch = (m.astype(jnp.float32) for m in mats_h[:3])
     # vertical matrices pre-transposed: y = M^T x as a plain (k,b)@(b,w)
     avt, bvt, cvt = (
         jnp.swapaxes(m, 1, 2).astype(jnp.float32) for m in mats_v[:3]
     )
+    # R-folded edge matrices (module doc): left/top guard = mirror of the
+    # edge block, so guard contributions become edge @ (R @ A) (columns)
+    # and (A^T @ R) @ edge (rows).
+    ahL = jnp.einsum("ij,fjk->fik", R, ah)
+    chR = jnp.einsum("ij,fjk->fik", R, ch)
+    avtL = jnp.einsum("fij,jk->fik", avt, R)
+    cvtR = jnp.einsum("fij,jk->fik", cvt, R)
+
     kernel = functools.partial(
         _fused_kernel,
-        n_rows=n_rows, whitepoint=whitepoint,
-        deltaE=deltaE, precision=precision,
+        n_rows=n_rows, n_cols=n_cols, whitepoint=whitepoint,
+        deltaE=deltaE, precision=precision, edges=edges,
     )
+    mat_spec = pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0))
+    q_spec = lambda ix: pl.BlockSpec(  # noqa: E731
+        (1, 3, Hp, BLOCK), lambda s, p, hw, _ix=ix: (p, 0, 0, _ix(s))
+    )
+    in_specs = [
+        q_spec(lambda s: jnp.maximum(s - 1, 0)),
+        q_spec(lambda s: s),
+        q_spec(lambda s: jnp.minimum(s + 1, n_cols - 1)),
+    ]
+    args = [q, q, q]
+    if edges == "slabs":
+        assert left_slab is not None and right_slab is not None
+        slab_spec = pl.BlockSpec(
+            (1, 3, Hp, BLOCK), lambda s, p, hw: (p, 0, 0, 0)
+        )
+        in_specs += [slab_spec, slab_spec]
+        args += [left_slab, right_slab]
+    in_specs += [pl.BlockSpec((3, Hp, BLOCK), lambda s, p, hw: (0, 0, s))]
+    args += [target]
+    mats = [ah, bh, ch] if edges == "slabs" else [ah, bh, ch, ahL, chR]
+    mats += [avt, bvt, cvt, avtL, cvtR]
+    in_specs += [mat_spec] * len(mats)
+    args += mats
+
     acc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_cols, pop),
-            in_specs=[
-                pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p, hw: (p, 0, 0, s)),
-                pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p, hw: (p, 0, 0, s + 1)),
-                pl.BlockSpec((1, 3, Hg, BLOCK), lambda s, p, hw: (p, 0, 0, s + 2)),
-                pl.BlockSpec((3, Hp, BLOCK), lambda s, p, hw: (0, 0, s)),
-                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
-                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
-                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
-                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
-                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
-                pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, BLOCK, BLOCK), lambda s, p, hw: (p, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((7, Hg, BLOCK), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((7, Hp, BLOCK), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((pop, BLOCK, BLOCK), jnp.float32),
-        # 3 double-buffered (3, Hg, 128) column blocks + the (7, Hg, 128)
+        # 3 double-buffered (3, Hp, 128) column blocks + the (7, Hp, 128)
         # scratch exceed Mosaic's default 16 MB scoped-vmem budget; the chip
         # has 128 MB.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(hw, q_g, q_g, q_g, target, ah, bh, ch, avt, bvt, cvt)
+    )(hw, *args)
     return jnp.sum(acc, axis=(1, 2))

@@ -37,8 +37,10 @@ precision is selectable:
              < ~1e-7, quality-neutral; see tests/test_pallas_assign)
   "bf16"     1 pass, fast mode — flips ~0.7% of assignments (measured)
 
-The winner gather stays exact in every mode (one-hot contraction of f32
-palette values at HIGHEST; K is tiny so its cost is negligible).
+The winner gather stays exact in every mode: the one-hot is exactly
+representable in bf16, so two DEFAULT dots against the hi/lo bf16 split of
+the (tiny) palette matrix reconstruct the exact f32 gather with no
+full-size operand-conversion passes.
 
 Padding: P is padded to the block size (padded lanes masked out of usage and
 never read back); K is padded to a sublane multiple with bias -inf so dummy
@@ -111,10 +113,21 @@ def pack_palette(pal_feats: jnp.ndarray, opp_palette: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _split_bf16(a: jnp.ndarray):
-    """Exact f32 = hi + lo split with bf16 parts (lo captures the tail)."""
+    """f32 ~ hi + lo split with bf16 parts (lo captures the next 8 bits)."""
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _split_bf16_3(a: jnp.ndarray):
+    """EXACT f32 = hi + mid + lo as three bf16 parts (3 x 8 = 24 mantissa
+    bits); summing the parts hi-to-lo in f32 reconstructs `a` bit-exactly
+    (each partial sum is representable)."""
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _dot(c, x, precision):
@@ -134,10 +147,16 @@ def _scores(c, x, xsplit, precision: str) -> jnp.ndarray:
         return _dot(c, x, jax.lax.Precision.DEFAULT)
     # f32x3: (ch + cl)(xh + xl) ~ ch xh + ch xl + cl xh; dropped cl xl term
     # is O(2^-16) relative. The bias row survives exactly: bias_h*1 + bias_l*1.
+    # The three products ride ONE MXU pass as a stacked 12-row contraction
+    # [ch; ch; cl] . [xh; xl; xh] (the f32 accumulator sums them in-MXU) —
+    # three separate dots cost two extra (K_pad, BP) VPU adds per block,
+    # which measurably dominate at K=256 (the contraction dim pads to the
+    # same MXU tile either way).
     ch, cl = _split_bf16(c)
     xh, xl = xsplit
-    d = jax.lax.Precision.DEFAULT
-    return _dot(ch, xh, d) + _dot(ch, xl, d) + _dot(cl, xh, d)
+    c12 = jnp.concatenate([ch, ch, cl], axis=0)
+    x12 = jnp.concatenate([xh, xl, xh], axis=0)
+    return _dot(c12, x12, jax.lax.Precision.DEFAULT)
 
 
 def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
@@ -154,7 +173,9 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (kp, bp), 0)
     idx = jnp.min(jnp.where(hit, iota_k, kp), axis=0)
     onehot = (iota_k == idx[None, :]) & valid
-    return jnp.where(onehot, 1.0, 0.0).astype(jnp.float32)
+    # bf16 one-hot: 0/1 are exact in bf16 and the downstream dots run at
+    # DEFAULT without any f32->bf16 operand-split passes over (K_pad, BP).
+    return jnp.where(onehot, 1.0, 0.0).astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +183,10 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _hit_mask(scores: jnp.ndarray, valid: jnp.ndarray):
-    """(K_pad, BP) f32 mask of every per-column maximum (2 VPU passes)."""
+    """(K_pad, BP) bf16 mask of every per-column maximum (2 VPU passes)."""
     m = jnp.max(scores, axis=0)
     hit = (scores == m[None, :]) & valid
-    return jnp.where(hit, 1.0, 0.0).astype(jnp.float32)
+    return jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
 
 
 def _assign_opp_pop_kernel(
@@ -188,37 +209,47 @@ def _assign_opp_pop_kernel(
     x = x_ref[:, :]
     xsplit = _split_bf16(x) if precision == "f32x3" else None
     valid = (i * bp + jax.lax.broadcasted_iota(jnp.int32, (1, bp), 1)) < n_ref[0]
+    ones_bf = jnp.ones((1, bp), jnp.bfloat16)
 
     for p in range(pop):
         scores = _scores(c_ref[p], x, xsplit, precision)
         if tie_mode == "average":
             # 2-pass hit mask; O4's ones row turns the winner-gather matmul
             # into (summed color, hit count) so ties average on the MXU.
-            onehot_f = _hit_mask(scores, valid)
+            onehot_bf = _hit_mask(scores, valid)
         else:
-            onehot_f = _first_max_onehot(scores, valid)
+            onehot_bf = _first_max_onehot(scores, valid)
 
-        # Winner gather as an MXU one-hot contraction — exact at HIGHEST
-        # (each output is a single f32 palette value; K is tiny so the
-        # 6-pass cost is negligible next to the scores matmul).
-        opp = jax.lax.dot_general(
-            o_ref[p], onehot_f,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (4, BP)
+        # Winner gather as an MXU one-hot contraction. The one-hot is exact
+        # in bf16, so three DEFAULT dots against the exact 3-way bf16 split
+        # of O4 (tiny, (4, K)) reconstruct the bit-exact f32 gather — a
+        # HIGHEST dot here would instead hi/lo-split the (K_pad, BP) one-hot
+        # operand, ~4 full-size VPU conversion passes per member (measured).
+        oh, om, ol = _split_bf16_3(o_ref[p])
+        d = jax.lax.Precision.DEFAULT
+        dims = (((1,), (0,)), ((), ()))
+
+        def gdot(a, b):
+            return jax.lax.dot_general(
+                a, b, dims, precision=d, preferred_element_type=jnp.float32
+            )
+
+        # hi-to-lo summation order keeps every partial sum representable.
+        opp = (gdot(oh, onehot_bf) + gdot(om, onehot_bf)) + gdot(ol, onehot_bf)
         if tie_mode == "average":
             inv = 1.0 / jnp.maximum(opp[3:4, :], 1.0)
             opp_ref[p, :, :] = opp[0:3, :] * inv
         else:
             opp_ref[p, :, :] = opp[0:3, :]
 
+        # (1, K_pad) orientation: Mosaic verifies the bf16->f32 dot only
+        # with the singleton dim on the LHS (lanes = K on the output).
         counts = jax.lax.dot_general(
-            onehot_f, x_ref[3:4, :],
+            ones_bf, onehot_bf,
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,  # 0/1 x 1.0 exact in bf16
             preferred_element_type=jnp.float32,
-        )  # (K_pad, 1)
+        )  # (1, K_pad)
 
         @pl.when(i == 0)
         def _():
@@ -260,7 +291,7 @@ def assign_opp_pop(
     tie_mode: str = "first",
 ):
     """Population assignment: c4/o4 (pop, 4, K_pad) -> (opp (pop, 3, P_pad),
-    usage (pop, K_pad, 1)). num_pixels: () int32 true pixel count."""
+    usage (pop, 1, K_pad)). num_pixels: () int32 true pixel count."""
     pop = c4.shape[0]
     pp = x4.shape[1]
     kp = c4.shape[2]
@@ -281,12 +312,12 @@ def assign_opp_pop(
             ],
             out_specs=[
                 pl.BlockSpec((pop, 3, block), lambda i, n: (0, 0, i)),
-                pl.BlockSpec((pop, kp, 1), lambda i, n: (0, 0, 0)),
+                pl.BlockSpec((pop, 1, kp), lambda i, n: (0, 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((pop, 3, pp), jnp.float32),
-            jax.ShapeDtypeStruct((pop, kp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((pop, 1, kp), jnp.float32),
         ],
         interpret=interpret,
     )(n, x4, c4, o4)
@@ -401,7 +432,7 @@ def assign_opp_usage_pop(
         x4, c4, o4, jnp.int32(P), block=block, interpret=interpret,
         precision=precision, tie_mode=tie_mode,
     )
-    return opp[:, :, :P], usage[:, :K, 0] > 0.0
+    return opp[:, :, :P], usage[:, 0, :K] > 0.0
 
 
 def nearest_palette_pallas(

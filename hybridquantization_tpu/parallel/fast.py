@@ -11,17 +11,18 @@ Per fitness evaluation, per shard:
 
   1. Pallas population assignment on the local padded pixels (no
      communication — assignment is pixel-local).
-  2. Row guards: local symmetric pad (rows are complete in every shard).
-  3. Column guards: one 128-column slab ppermute to each neighbor over ICI;
-     true image edges mirror locally — reflection happens ONLY at true
-     edges, never at shard boundaries (SURVEY.md section 7 "hard parts").
-     Only the first `half` (<=10) guard columns are actually read with
-     nonzero band-matrix coefficients, but a full 128 block keeps the
-     kernel's pure-VALID stripe layout.
-  4. Fused S-CIELAB + Delta-E kernel with a *dynamic* per-shard valid-width
+  2. Column guards: one 128-column slab ppermute to each neighbor over ICI,
+     passed to the kernel as separate slab inputs (edges="slabs"); true
+     image edges mirror locally — reflection happens ONLY at true edges,
+     never at shard boundaries (SURVEY.md section 7 "hard parts"). Only the
+     first `half` (<=10) guard columns are actually read with nonzero
+     band-matrix coefficients, but a full 128 block keeps the kernel's
+     pure-VALID stripe layout. Row reflection needs no data movement at
+     all: the kernel folds it into its edge band matrices.
+  3. Fused S-CIELAB + Delta-E kernel with a *dynamic* per-shard valid-width
      mask (`hw` scalar prefetch: only the shard holding the true right edge
      masks columns).
-  5. One psum for the Delta-E sum, one for the usage OR — the whole
+  4. One psum for the Delta-E sum, one for the usage OR — the whole
      reference per-evaluation pipeline (ImageManipulation.java:620-727)
      never touches the host.
 
@@ -124,19 +125,19 @@ def make_fast_fitness(
         usage = lax.psum(usage_l.astype(jnp.int32), axis_name) > 0
 
         q = opp.reshape(pop, 3, Hp, Ws)
-        q = jnp.pad(
-            q, ((0, 0), (0, 0), (BLOCK, BLOCK), (0, 0)), mode="symmetric"
-        )
+        # Column guards: one 128-column slab to each neighbor over ICI (true
+        # image edges mirror locally); rows need nothing — the kernel folds
+        # the row reflection into its band matrices (edges docstring).
         left, right = _column_guards(q, n_pixel, axis_name)
-        q2 = jnp.concatenate([left, q, right], axis=-1)
 
         i = lax.axis_index(axis_name)
         w_valid = jnp.clip(W - i * Ws, 0, Ws)
         hw = jnp.stack([jnp.int32(H), w_valid.astype(jnp.int32)])
         sums = ff.fused_scielab_err_sums(
-            q2, target_local, mats_h, mats_v, wp_tuple,
+            q, target_local, mats_h, mats_v, wp_tuple,
             hw=hw, deltaE=cfg.deltaE, precision=cfg.precision,
-            interpret=interpret,
+            interpret=interpret, edges="slabs",
+            left_slab=left, right_slab=right,
         )
         err = lax.psum(sums, axis_name) / (H * W)
         pen = jax.vmap(

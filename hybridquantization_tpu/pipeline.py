@@ -211,17 +211,14 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
 
         if use_fused:
             # Fast path: the assign kernel already emitted a mirror-padded
-            # image; add one guard block per side (the only per-eval HBM
-            # copy) and run the single fused Pallas kernel — both conv
-            # passes, the 7-channel intermediate (VMEM-resident), Opp->LAB,
-            # Delta-E, and the masked mean-reduction never leave the chip.
+            # image; the fused Pallas kernel consumes it directly (edge
+            # reflection is folded into the band matrices — zero per-eval
+            # HBM copies). Both conv passes, the 7-channel intermediate
+            # (VMEM-resident), Opp->LAB, Delta-E, and the masked
+            # mean-reduction never leave the chip.
             q = opp.reshape(pop, 3, Hp, Wp)
-            q2 = jnp.pad(
-                q, ((0, 0), (0, 0), (BLOCK, BLOCK), (BLOCK, BLOCK)),
-                mode="symmetric",
-            )
             sums = ff.fused_scielab_err_sums(
-                q2,
+                q,
                 ctx["target_planar"],
                 ctx["mats_h"],
                 ctx["mats_v"],

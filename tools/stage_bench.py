@@ -117,34 +117,19 @@ def main():
                 f"({POP*Hp*Wp/t/1e6:7.0f} Mpix/s)", flush=True,
             )
 
-    # -- pad ------------------------------------------------------------------
-    @jax.jit
-    def pad_fn(q):
-        return jnp.pad(
-            q, ((0, 0), (0, 0), (BLOCK, BLOCK), (BLOCK, BLOCK)),
-            mode="symmetric",
-        )
-
-    t = bench(pad_fn, lambda i: (jnp.asarray(opp_np[i % 4]),))
-    print(f"pad     guard symmetric          {t*1e3:7.1f} ms", flush=True)
-
-    # -- fused S-CIELAB + deltaE kernel --------------------------------------
-    q2_np = [
-        np.pad(o, ((0, 0), (0, 0), (BLOCK, BLOCK), (BLOCK, BLOCK)), mode="symmetric")
-        for o in opp_np
-    ]
+    # -- fused S-CIELAB + deltaE kernel (guard-free: takes q directly) -------
     for prec in precisions:
         @functools.partial(jax.jit, static_argnames=("_prec",))
-        def fused_fn(q2, tgt, mh, mv, _prec=prec):
+        def fused_fn(q, tgt, mh, mv, _prec=prec):
             return ff.fused_scielab_err_sums(
-                q2, tgt, mh, mv,
+                q, tgt, mh, mv,
                 wp_tuple, H=H, W=W, deltaE="CIE76", precision=_prec,
             )
 
         t = bench(
             fused_fn,
             lambda i: (
-                jnp.asarray(q2_np[i % 4]), ctx["target_planar"],
+                jnp.asarray(opp_np[i % 4]), ctx["target_planar"],
                 ctx["mats_h"], ctx["mats_v"],
             ),
         )
