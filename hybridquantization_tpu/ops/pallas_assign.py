@@ -221,21 +221,21 @@ def _assign_opp_pop_kernel(
             onehot_bf = _first_max_onehot(scores, valid)
 
         # Winner gather as an MXU one-hot contraction. The one-hot is exact
-        # in bf16, so three DEFAULT dots against the exact 3-way bf16 split
-        # of O4 (tiny, (4, K)) reconstruct the bit-exact f32 gather — a
-        # HIGHEST dot here would instead hi/lo-split the (K_pad, BP) one-hot
-        # operand, ~4 full-size VPU conversion passes per member (measured).
+        # in bf16, and the exact 3-way bf16 split of O4 (tiny, (4, K))
+        # reconstructs the bit-exact f32 gather — a HIGHEST dot here would
+        # instead hi/lo-split the (K_pad, BP) one-hot operand, ~4 full-size
+        # VPU conversion passes per member (measured). The three split parts
+        # ride ONE dot stacked on the output rows (a (12, K) lhs costs the
+        # same MXU tiles as a (4, K) one; three separate dots cost 3x).
         oh, om, ol = _split_bf16_3(o_ref[p])
+        o12 = jnp.concatenate([oh, om, ol], axis=0)  # (12, K_pad)
         d = jax.lax.Precision.DEFAULT
-        dims = (((1,), (0,)), ((), ()))
-
-        def gdot(a, b):
-            return jax.lax.dot_general(
-                a, b, dims, precision=d, preferred_element_type=jnp.float32
-            )
-
+        out = jax.lax.dot_general(
+            o12, onehot_bf, (((1,), (0,)), ((), ())),
+            precision=d, preferred_element_type=jnp.float32,
+        )  # (12, BP)
         # hi-to-lo summation order keeps every partial sum representable.
-        opp = (gdot(oh, onehot_bf) + gdot(om, onehot_bf)) + gdot(ol, onehot_bf)
+        opp = (out[0:4] + out[4:8]) + out[8:12]
         if tie_mode == "average":
             inv = 1.0 / jnp.maximum(opp[3:4, :], 1.0)
             opp_ref[p, :, :] = opp[0:3, :] * inv
