@@ -122,6 +122,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--assignment-space", choices=["srgb", "lab"], default="srgb"
     )
     b.add_argument("--seed", type=int, default=0)
+    g = b.add_argument_group("multi-host (one process per host; parallel.multihost)")
+    g.add_argument(
+        "--distributed", action="store_true",
+        help="initialize the multi-host JAX runtime before building the mesh",
+    )
+    g.add_argument("--coordinator", default=None, help="coordinator host:port")
+    g.add_argument("--num-processes", type=int, default=None)
+    g.add_argument("--process-id", type=int, default=None)
     _add_common(b)
     return parser
 
@@ -243,21 +251,16 @@ def cmd_quantize_batch(args) -> int:
     from .batching import run_bucketed
     from .parallel import ShardedBatchQuantizer, make_mesh
 
+    # _config_from_args already reads the batch flags (colors/population/
+    # imax) and carries precision/tie_mode/fast through.
     cfg = _config_from_args(args)
-    # Batch runs scale imax/population via dedicated flags.
-    cfg = QuantizationConfig(
-        swasa=SWASAConfig(
-            num_colors=args.colors,
-            population=args.population,
-            imax=args.imax,
-        ),
-        scielab=cfg.scielab,
-        deltaE=cfg.deltaE,
-        assignment_space=args.assignment_space,
-        verbose=args.verbose,
-        seed=args.seed,
-    )
-    mesh = make_mesh(args.mesh_data, args.mesh_pixel or None)
+    if args.distributed:
+        from .parallel.multihost import distributed_mesh, init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+        mesh = distributed_mesh(args.mesh_pixel or None)
+    else:
+        mesh = make_mesh(args.mesh_data, args.mesh_pixel or None)
     engine = ShardedBatchQuantizer(cfg, mesh)
     print(
         f"mesh {engine.n_data}x{engine.n_pixel}, {len(args.inputs)} images, "

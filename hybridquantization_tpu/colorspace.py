@@ -26,6 +26,7 @@ Matrices reproduce the *active* (OpenCL) path of the reference:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
@@ -122,7 +123,10 @@ def linear_to_srgb(c):
 # ---------------------------------------------------------------------------
 
 def _apply(M, x):
-    return x @ jnp.asarray(M).T
+    # HIGHEST: a bare `@` runs at DEFAULT (bf16) on TPU. XLA usually lowers
+    # a length-3 contraction to f32 FMAs anyway, but that is a lowering
+    # choice, not a contract — the parity path never leaves it to chance.
+    return jnp.matmul(x, jnp.asarray(M).T, precision=jax.lax.Precision.HIGHEST)
 
 
 def srgb_to_xyz(srgb):

@@ -67,9 +67,6 @@ SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent source channel
 
 FUSED_DELTA_E = ("CIE76", "CIE94")  # CIEDE2000 falls back to the XLA path
 
-_R = np.eye(BLOCK, dtype=np.float32)[::-1].copy()  # reversal (anti-identity)
-
-
 # ---------------------------------------------------------------------------
 # Matmul helper with precision modes
 # ---------------------------------------------------------------------------
@@ -294,7 +291,6 @@ def fused_scielab_err_sums(
     assert target.shape == (3, Hp, Wp), (target.shape, Hp, Wp)
     n_cols = Wp // BLOCK
     n_rows = Hp // BLOCK
-    R = jnp.asarray(_R)
     ah, bh, ch = (m.astype(jnp.float32) for m in mats_h[:3])
     # vertical matrices pre-transposed: y = M^T x as a plain (k,b)@(b,w)
     avt, bvt, cvt = (
@@ -302,11 +298,13 @@ def fused_scielab_err_sums(
     )
     # R-folded edge matrices (module doc): left/top guard = mirror of the
     # edge block, so guard contributions become edge @ (R @ A) (columns)
-    # and (A^T @ R) @ edge (rows).
-    ahL = jnp.einsum("ij,fjk->fik", R, ah)
-    chR = jnp.einsum("ij,fjk->fik", R, ch)
-    avtL = jnp.einsum("fij,jk->fik", avt, R)
-    cvtR = jnp.einsum("fij,jk->fik", cvt, R)
+    # and (A^T @ R) @ edge (rows). R is a permutation, so the fold is an
+    # EXACT row/column reversal — never a matmul (an einsum here runs at
+    # bf16 DEFAULT precision and silently rounds the band coefficients).
+    ahL = ah[:, ::-1, :]
+    chR = ch[:, ::-1, :]
+    avtL = avt[:, :, ::-1]
+    cvtR = cvt[:, :, ::-1]
 
     kernel = functools.partial(
         _fused_kernel,

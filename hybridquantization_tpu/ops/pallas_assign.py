@@ -171,8 +171,13 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
     m = jnp.max(scores, axis=0)
     hit = scores == m[None, :]
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (kp, bp), 0)
-    idx = jnp.min(jnp.where(hit, iota_k, kp), axis=0)
-    onehot = (iota_k == idx[None, :]) & valid
+    t = jnp.where(hit, iota_k, kp)
+    idx = jnp.min(t, axis=0)
+    # Fold the pixel-valid mask into idx (a cheap (1, bp) select): -1
+    # matches no t entry, so invalid columns produce an all-zero one-hot
+    # without a full-size AND pass.
+    idx = jnp.where(valid[0], idx, -1)
+    onehot = t == idx[None, :]
     # bf16 one-hot: 0/1 are exact in bf16 and the downstream dots run at
     # DEFAULT without any f32->bf16 operand-split passes over (K_pad, BP).
     return jnp.where(onehot, 1.0, 0.0).astype(jnp.bfloat16)

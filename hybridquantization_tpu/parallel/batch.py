@@ -77,6 +77,25 @@ class ShardedBatchQuantizer:
                 f"half-width {self.filters.half_width}"
             )
 
+    def _to_global(self, arr):
+        """Host numpy -> device array, multi-host-correct.
+
+        Single process: a plain device transfer. Multi-process (pod slice):
+        every host holds the SAME full batch (the CLI loads the same input
+        list everywhere); each process materializes only its addressable
+        shards of a batch-sharded global array, so no host ships data it
+        does not own to the computation.
+        """
+        if jax.process_count() == 1:
+            return jnp.asarray(arr, jnp.float32)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arr = np.asarray(arr, np.float32)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
     def _use_fast(self, images) -> bool:
         """Column-sharded Pallas fitness when the shape/config allow it."""
         if self._fast_fns is None:
@@ -95,7 +114,7 @@ class ShardedBatchQuantizer:
     def find_palettes(self, images, seeds=None, progress=None, chunk_size=None):
         """(B, K, 3) palettes + info. images: (B, H, W, 3) float sRGB."""
         cfg = self.config
-        images = jnp.asarray(images, jnp.float32)
+        images = self._to_global(images)
         self._check(images)
         B = images.shape[0]
         if seeds is None:
@@ -137,7 +156,7 @@ class ShardedBatchQuantizer:
         return jax.device_get(state.best_colors), info
 
     def quantize(self, images, palettes):
-        images = jnp.asarray(images, jnp.float32)
+        images = self._to_global(images)
         return self._quantize(images, jnp.asarray(palettes, jnp.float32))
 
     def run(self, images, seeds=None, progress=None):
