@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="palette assignment distance space (srgb = reference parity)",
     )
     q.add_argument("--seed", type=int, default=0, help="PRNG seed (reference was unseeded)")
+    q.add_argument(
+        "--polish", type=int, default=0, metavar="N",
+        help="Lloyd (k-means) refinement steps after the anneal (beyond-"
+        "reference feature; monotone in assignment-space MSE)",
+    )
     q.add_argument("--error-image", metavar="PATH", help="also write the Delta-E error image")
     q.add_argument("--palette-out", metavar="PATH", help="write the palette as .npy")
     q.add_argument("--checkpoint", metavar="PATH", help="checkpoint file to save/resume")
@@ -203,6 +208,9 @@ def cmd_quantize(args) -> int:
 
     if args.checkpoint:
         save_state(args.checkpoint, info["state"], {"best_error": info["best_error"]})
+    if args.polish:
+        palette = np.asarray(engine.polish(image, palette, iters=args.polish))
+        print(f"polished palette with {args.polish} Lloyd steps")
     out = np.asarray(engine.quantize(image, palette))
     hio.save_image(args.output, out)
     print(f"wrote {args.output}")

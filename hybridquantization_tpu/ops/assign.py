@@ -125,6 +125,55 @@ def assign_with_usage(
     return idx, palette_usage(idx, palette.shape[0])
 
 
+def lloyd_step(
+    pixels: jnp.ndarray,
+    palette: jnp.ndarray,
+    *,
+    block_size: int = 1 << 16,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """One Lloyd (k-means) step: move each palette entry to the centroid of
+    its assigned pixels; entries no pixel selected keep their color.
+
+    The per-palette color partial sums are the "centroid partial sums" of
+    the BASELINE north star; under pixel sharding they combine with one
+    psum. The reference has no refinement stage at all — its anneal is the
+    only optimizer — so this is a beyond-parity feature: Lloyd steps are
+    monotone in assignment-space MSE.
+    """
+    K = palette.shape[0]
+    idx = nearest_palette(
+        pixels, palette, block_size=block_size, precision=precision
+    )
+    sums = jax.ops.segment_sum(pixels, idx, num_segments=K)
+    counts = jax.ops.segment_sum(
+        jnp.ones((pixels.shape[0],), pixels.dtype), idx, num_segments=K
+    )
+    safe = jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where(counts[:, None] > 0, sums / safe, palette)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "block_size", "precision")
+)
+def lloyd_polish(
+    pixels: jnp.ndarray,
+    palette: jnp.ndarray,
+    iters: int = 10,
+    *,
+    block_size: int = 1 << 16,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """`iters` Lloyd steps (see lloyd_step) as one compiled loop."""
+
+    def body(_, pal):
+        return lloyd_step(
+            pixels, pal, block_size=block_size, precision=precision
+        )
+
+    return jax.lax.fori_loop(0, iters, body, palette)
+
+
 def quantize_image(image_hwc: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     """Replace each pixel by its nearest palette color (same feature space).
 

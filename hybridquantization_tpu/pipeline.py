@@ -403,6 +403,30 @@ class HybridQuantizer:
             print(f"Final error : {info['best_error']:.5f}")
         return jax.device_get(state.best_colors), info
 
+    # -- Palette refinement ---------------------------------------------------
+
+    def polish(self, image_hwc, palette, iters: int = 10):
+        """Lloyd (k-means) refinement of a palette in the assignment space.
+
+        Beyond-reference feature (the reference's anneal is its only
+        optimizer): each step moves every palette entry to the centroid of
+        its assigned pixels — monotone in assignment-space MSE. In "lab"
+        mode centroids are computed in CIELAB and mapped back to sRGB with
+        gamut clamping. Note the SWASA fitness is the *spatial* S-CIELAB
+        Delta-E, a different objective: polishing usually also lowers the
+        mean Delta-E, but compare with error_image when it matters.
+        """
+        image = jnp.asarray(image_hwc, jnp.float32)
+        palette = jnp.asarray(palette, jnp.float32)
+        pixels = image.reshape(-1, 3)
+        if self.config.assignment_space == "lab":
+            wp = self._whitepoint
+            feats = cs.srgb_to_lab(pixels, wp)
+            pal_feats = cs.srgb_to_lab(palette, wp)
+            out = assign_ops.lloyd_polish(feats, pal_feats, iters)
+            return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
+        return jnp.clip(assign_ops.lloyd_polish(pixels, palette, iters), 0.0, 1.0)
+
     # -- Quantize / error image --------------------------------------------
 
     def _quantize_impl(self, image, palette):

@@ -79,3 +79,68 @@ def test_quantize_image(rng):
     # idempotent
     again = np.asarray(assign.quantize_image(jnp.asarray(out), jnp.asarray(palette)))
     np.testing.assert_array_equal(out, again)
+
+
+def _assign_mse(pixels, palette):
+    d = np.linalg.norm(pixels[:, None] - palette[None], axis=-1).min(1)
+    return float(np.mean(d**2))
+
+
+def test_lloyd_step_monotone_mse(rng):
+    """Every Lloyd step is non-increasing in assignment-space MSE."""
+    pixels = rng.random((4000, 3), dtype=np.float32)
+    palette = rng.random((8, 3), dtype=np.float32)
+    prev = _assign_mse(pixels, palette)
+    pal = jnp.asarray(palette)
+    for _ in range(6):
+        pal = assign.lloyd_step(jnp.asarray(pixels), pal)
+        cur = _assign_mse(pixels, np.asarray(pal))
+        assert cur <= prev + 1e-7
+        prev = cur
+
+
+def test_lloyd_step_is_centroid(rng):
+    """Each updated entry equals the mean of its assigned pixels; entries
+    with no pixels keep their color."""
+    pixels = rng.random((1000, 3), dtype=np.float32)
+    palette = np.concatenate(
+        [rng.random((4, 3), dtype=np.float32), [[5.0, 5.0, 5.0]]]
+    ).astype(np.float32)  # entry 4 is far outside [0,1] -> never chosen
+    idx = np.asarray(assign.nearest_palette(pixels, palette))
+    new = np.asarray(assign.lloyd_step(jnp.asarray(pixels), jnp.asarray(palette)))
+    for k in range(4):
+        sel = pixels[idx == k]
+        if len(sel):
+            np.testing.assert_allclose(new[k], sel.mean(0), rtol=1e-5)
+    np.testing.assert_array_equal(new[4], palette[4])
+
+
+def test_lloyd_polish_matches_steps(rng):
+    pixels = rng.random((500, 3), dtype=np.float32)
+    palette = rng.random((5, 3), dtype=np.float32)
+    pal = jnp.asarray(palette)
+    for _ in range(3):
+        pal = assign.lloyd_step(jnp.asarray(pixels), pal)
+    fused = assign.lloyd_polish(jnp.asarray(pixels), jnp.asarray(palette), 3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(pal), atol=1e-6)
+
+
+def test_engine_polish_improves_quality(rng):
+    """HybridQuantizer.polish lowers assignment-space MSE from a rough
+    palette, in both assignment spaces, and stays in gamut."""
+    from hybridquantization_tpu import HybridQuantizer, QuantizationConfig, SWASAConfig
+
+    img = rng.random((24, 32, 3), dtype=np.float32)
+    pixels = img.reshape(-1, 3)
+    palette = rng.random((6, 3), dtype=np.float32)
+    for space in ["srgb", "lab"]:
+        q = HybridQuantizer(
+            QuantizationConfig(
+                swasa=SWASAConfig(num_colors=6), assignment_space=space
+            )
+        )
+        out = np.asarray(q.polish(img, palette, iters=8))
+        assert out.shape == palette.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        if space == "srgb":
+            assert _assign_mse(pixels, out) <= _assign_mse(pixels, palette)
