@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     q.add_argument("--seed", type=int, default=0, help="PRNG seed (reference was unseeded)")
     q.add_argument(
+        "--init", choices=["random", "kmeans"], default="random",
+        help="initial palettes: 'random' = reference parity; 'kmeans' = "
+        "histogram-weighted k-means seeds (usually converges in far fewer "
+        "iterations)",
+    )
+    q.add_argument(
         "--polish", type=int, default=0, metavar="N",
         help="Lloyd (k-means) refinement steps after the anneal (beyond-"
         "reference feature; monotone in assignment-space MSE)",
@@ -165,6 +171,7 @@ def _config_from_args(args) -> QuantizationConfig:
         assignment_space=getattr(args, "assignment_space", "srgb"),
         precision="bf16" if args.fast else args.precision,
         tie_mode="average" if args.fast else args.tie_mode,
+        init=getattr(args, "init", "random"),
         verbose=args.verbose,
         seed=getattr(args, "seed", 0),
     )

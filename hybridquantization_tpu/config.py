@@ -70,6 +70,9 @@ class QuantizationConfig:
     assignment_space: str = "srgb"
     precision: str = "f32x3"      # "highest" | "f32x3" | "bf16"
     tie_mode: str = "first"       # "first" | "average"
+    init: str = "random"        # "random" (reference parity, SWASA.java:40-52)
+                                # | "kmeans" (histogram-weighted k-means
+                                # seeds, ops/kmeans.py — beyond-reference)
     verbose: bool = False
     seed: int = 0
     progress_every: int = 10      # host progress cadence (ImageManipulation.java:546)

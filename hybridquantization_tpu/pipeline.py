@@ -267,9 +267,11 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "half"))
-def _init_jit(key, ctx, cfg: QuantizationConfig, half: int = 10) -> SWASAState:
+def _init_jit(
+    key, ctx, cfg: QuantizationConfig, half: int = 10, init_colors=None
+) -> SWASAState:
     return swasa_loop.init_state(
-        key, make_population_fitness(ctx, cfg, half), cfg.swasa
+        key, make_population_fitness(ctx, cfg, half), cfg.swasa, init_colors
     )
 
 
@@ -354,7 +356,20 @@ class HybridQuantizer:
         if initial_state is not None:
             state = initial_state
         else:
-            state = _init_jit(key, ctx, cfg, half)
+            init_colors = None
+            if cfg.init == "kmeans":
+                from .ops.kmeans import kmeans_init_palettes
+
+                key, sub = jax.random.split(key)
+                init_colors = kmeans_init_palettes(
+                    sub,
+                    jnp.asarray(image_hwc, jnp.float32).reshape(-1, 3),
+                    cfg.swasa.num_colors,
+                    cfg.swasa.population,
+                )
+            elif cfg.init != "random":
+                raise ValueError(f"unknown init {cfg.init!r}")
+            state = _init_jit(key, ctx, cfg, half, init_colors)
 
         imax = cfg.swasa.imax
         traj = []

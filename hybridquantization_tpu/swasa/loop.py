@@ -53,12 +53,24 @@ def _pop_fitness(fitness) -> PopFitnessFn:
     return as_population_fitness(fitness)
 
 
-def init_state(key: jax.Array, fitness, cfg: SWASAConfig) -> SWASAState:
-    """Random palettes + initial fitness eval (ImageManipulation.java:413-493)."""
+def init_state(
+    key: jax.Array, fitness, cfg: SWASAConfig, init_colors=None
+) -> SWASAState:
+    """Initial palettes + fitness eval (ImageManipulation.java:413-493).
+
+    init_colors: optional (pop, K, 3) starting palettes (e.g. the
+    histogram-weighted k-means seeds of ops/kmeans.py); defaults to the
+    reference's uniform-random init (SWASA.java:40-52).
+    """
     pop_fitness = _pop_fitness(fitness)
     key, sub = jax.random.split(key)
-    pal_keys = jax.random.split(sub, cfg.population)
-    colors = jax.vmap(lambda k: schedule.random_palette(k, cfg.num_colors))(pal_keys)
+    if init_colors is not None:
+        colors = jnp.asarray(init_colors, jnp.float32)
+    else:
+        pal_keys = jax.random.split(sub, cfg.population)
+        colors = jax.vmap(
+            lambda k: schedule.random_palette(k, cfg.num_colors)
+        )(pal_keys)
     errors, _ = pop_fitness(colors)
     best = jnp.argmin(errors)
     return SWASAState(

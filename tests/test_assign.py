@@ -144,3 +144,49 @@ def test_engine_polish_improves_quality(rng):
         assert out.min() >= 0.0 and out.max() <= 1.0
         if space == "srgb":
             assert _assign_mse(pixels, out) <= _assign_mse(pixels, palette)
+
+
+def test_kmeans_init_palettes(rng):
+    from hybridquantization_tpu.ops import kmeans
+
+    pixels = np.concatenate(
+        [
+            rng.normal(c, 0.03, (500, 3)).clip(0, 1)
+            for c in ([0.1, 0.2, 0.8], [0.9, 0.1, 0.1], [0.5, 0.9, 0.4])
+        ]
+    ).astype(np.float32)
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    pals = np.asarray(
+        kmeans.kmeans_init_palettes(key, jnp.asarray(pixels), 3, 2)
+    )
+    assert pals.shape == (2, 3, 3)
+    assert pals.min() >= 0.0 and pals.max() <= 1.0
+    # each member's palette lands near the three generating cluster centers
+    for pal in pals:
+        for c in ([0.1, 0.2, 0.8], [0.9, 0.1, 0.1], [0.5, 0.9, 0.4]):
+            assert np.linalg.norm(pal - np.asarray(c), axis=-1).min() < 0.08
+    # deterministic
+    again = np.asarray(
+        kmeans.kmeans_init_palettes(key, jnp.asarray(pixels), 3, 2)
+    )
+    np.testing.assert_array_equal(pals, again)
+
+
+def test_kmeans_init_beats_random_at_init(rng):
+    """The k-means seeded population starts with a lower fitness than the
+    reference's uniform-random init (the anneal itself is unchanged)."""
+    from hybridquantization_tpu import HybridQuantizer, QuantizationConfig, SWASAConfig
+    import dataclasses
+
+    img = rng.random((32, 40, 3), dtype=np.float32)
+    errs = {}
+    for init in ["random", "kmeans"]:
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=8, imax=1), init=init
+        )
+        q = HybridQuantizer(cfg)
+        _, info = q.find_palette(img)
+        errs[init] = info["best_error"]
+    assert errs["kmeans"] < errs["random"]
