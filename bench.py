@@ -130,6 +130,30 @@ def main() -> None:
     ts.sort()
     iters_per_s = 10.0 / ts[len(ts) // 2]
 
+    # -- context: quality-matched end-to-end schedule ------------------------
+    # kmeans seeding + 100 SWASA iters + 10 Lloyd polish steps reaches BETTER
+    # mean Delta-E at 4K/K256 than the reference's full random/imax=5000
+    # schedule (3.03 vs 5.66 measured; docs/PERFORMANCE.md) — time THAT
+    # schedule end-to-end (palette search + polish), reusing the compiled
+    # chunk program (same cfg; the seeds enter via init_colors).
+    from hybridquantization_tpu.ops.kmeans import kmeans_init_palettes
+    from hybridquantization_tpu.ops.assign import lloyd_polish
+
+    def e2e_quality_schedule(img, key):
+        pixels = img.reshape(-1, 3)
+        seeds = kmeans_init_palettes(key, pixels, K, POP)
+        st = _init_jit(key, ctx, cfg, half, seeds)
+        for _ in range(10):
+            st, _ = _chunk_jit(st, ctx, cfg, 10, half)
+        pal = lloyd_polish(pixels, st.best_colors, 10)
+        return jax.device_get(pal), float(jax.device_get(st.best_error))
+
+    img2 = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+    e2e_quality_schedule(image, jax.random.PRNGKey(1))  # compile warmup
+    t0 = time.perf_counter()
+    _, fit100 = e2e_quality_schedule(img2, jax.random.PRNGKey(2))
+    t_e2e = time.perf_counter() - t0
+
     value = round(assign_mpix_s, 1)
     print(
         json.dumps(
@@ -145,6 +169,13 @@ def main() -> None:
                     ),
                     "swasa_iters_per_s_pop4_4k_k256": round(iters_per_s, 3),
                     "est_seconds_imax5000_pop4_4k": round(5000 / iters_per_s, 1),
+                    "e2e_seconds_quality_matched_4k_k256": round(t_e2e, 2),
+                    "e2e_schedule": (
+                        "kmeans seed + 100 SWASA iters + 10 Lloyd steps; "
+                        "beats the reference random/imax=5000 schedule's "
+                        "mean deltaE at 4K/K256 (3.03 vs 5.66 measured)"
+                    ),
+                    "e2e_fitness_after_100_iters": round(fit100, 4),
                     "final_best_error_40iters": float(
                         jax.device_get(state.best_error)
                     ),
