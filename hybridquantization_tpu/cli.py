@@ -133,6 +133,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--assignment-space", choices=["srgb", "lab"], default="srgb"
     )
     b.add_argument("--seed", type=int, default=0)
+    b.add_argument(
+        "--init", choices=["random", "kmeans"], default="random",
+        help="initial palettes (see quantize --init)",
+    )
+    b.add_argument(
+        "--polish", type=int, default=0, metavar="N",
+        help="Lloyd refinement steps after each anneal (see quantize --polish)",
+    )
     g = b.add_argument_group("multi-host (one process per host; parallel.multihost)")
     g.add_argument(
         "--distributed", action="store_true",
@@ -286,7 +294,7 @@ def cmd_quantize_batch(args) -> int:
     _os.makedirs(args.out_dir, exist_ok=True)
 
     def run_batch(stack):
-        out, info = engine.run(stack)
+        out, info = engine.run(stack, polish_iters=args.polish)
         return out, info["best_errors"], info["palettes"]
 
     t0 = time.time()

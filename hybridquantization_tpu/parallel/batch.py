@@ -125,8 +125,28 @@ class ShardedBatchQuantizer:
         if self._use_fast(images):
             prepare, init_fn, chunk_fn, _ = self._fast_fns
 
+        init_colors = None
+        if cfg.init == "kmeans":
+            from ..ops.kmeans import kmeans_init_palettes
+
+            km_keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.asarray(seeds, jnp.uint32) + jnp.uint32(0x9E3779B9)
+            )
+            init_colors = jax.jit(
+                jax.vmap(
+                    lambda k, im: kmeans_init_palettes(
+                        k,
+                        im.reshape(-1, 3),
+                        cfg.swasa.num_colors,
+                        cfg.swasa.population,
+                    )
+                )
+            )(km_keys, images)
+        elif cfg.init != "random":
+            raise ValueError(f"unknown init {cfg.init!r}")
+
         targets = prepare(images)
-        state = init_fn(images, targets, keys)
+        state = init_fn(images, targets, keys, init_colors)
 
         imax = cfg.swasa.imax
         chunk = chunk_size or max(cfg.progress_every, 1)
@@ -159,8 +179,37 @@ class ShardedBatchQuantizer:
         images = self._to_global(images)
         return self._quantize(images, jnp.asarray(palettes, jnp.float32))
 
-    def run(self, images, seeds=None, progress=None):
+    def polish(self, images, palettes, iters: int = 10):
+        """Per-image Lloyd refinement (pipeline.HybridQuantizer.polish doc)."""
+        from .. import colorspace as cs
+        from ..ops.assign import lloyd_polish
+
+        images = self._to_global(images)
+        palettes = jnp.asarray(palettes, jnp.float32)
+        lab = self.config.assignment_space == "lab"
+        wp = jnp.asarray(
+            cs.WHITEPOINTS[self.config.scielab.whitepoint]
+        )
+
+        @jax.jit
+        def run_all(imgs, pals):
+            def one(img, pal):
+                pixels = img.reshape(-1, 3)
+                if lab:
+                    out = lloyd_polish(
+                        cs.srgb_to_lab(pixels, wp), cs.srgb_to_lab(pal, wp), iters
+                    )
+                    return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
+                return jnp.clip(lloyd_polish(pixels, pal, iters), 0.0, 1.0)
+
+            return jax.vmap(one)(imgs, pals)
+
+        return run_all(images, palettes)
+
+    def run(self, images, seeds=None, progress=None, polish_iters: int = 0):
         palettes, info = self.find_palettes(images, seeds, progress)
+        if polish_iters:
+            palettes = jax.device_get(self.polish(images, palettes, polish_iters))
         out = self.quantize(images, palettes)
         info["palettes"] = palettes
         return jax.device_get(out), info

@@ -227,21 +227,30 @@ def build_sharded_fast_fns(
         )
 
     # -- init -----------------------------------------------------------------
+    # init_colors: optional (B, pop, K, 3) seed palettes (e.g. ops.kmeans);
+    # None = the reference's uniform-random init.
     @jax.jit
-    def init(images, ctx, keys):
+    def init(images, ctx, keys, init_colors=None):
         B, H, W, _ = images.shape
         Hp, Wt, Ws, _ = plan_fast(H, W, half, n_pixel)
 
-        def body(x4_local, tgt_local, keys_local):
-            def per_image(x4i, tgti, key):
+        def body(x4_local, tgt_local, keys_local, *colors_local):
+            def per_image(x4i, tgti, key, *colors):
                 fitness = _fitness(x4i, tgti, H, W, Hp, Ws)
-                return swasa_loop.init_state(key, fitness, cfg.swasa)
+                return swasa_loop.init_state(
+                    key, fitness, cfg.swasa, colors[0] if colors else None
+                )
 
-            return jax.vmap(per_image)(x4_local, tgt_local, keys_local)
+            return jax.vmap(per_image)(
+                x4_local, tgt_local, keys_local, *colors_local
+            )
 
-        return _sm(
-            body, (x4_spec, planar_spec, state_spec), state_spec
-        )(ctx["x4"], ctx["targets"], keys)
+        in_specs = [x4_spec, planar_spec, state_spec]
+        args = [ctx["x4"], ctx["targets"], keys]
+        if init_colors is not None:
+            in_specs.append(state_spec)
+            args.append(init_colors)
+        return _sm(body, tuple(in_specs), state_spec)(*args)
 
     # -- chunk ----------------------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("num_iters",))

@@ -138,19 +138,28 @@ def build_sharded_fns(mesh, cfg: QuantizationConfig, filters: ScielabFilters):
 
         return _sm(body, (img_spec,), img_spec)(images)
 
-    # -- init: random palettes + initial fitness ----------------------------
+    # -- init: palettes + initial fitness ------------------------------------
+    # init_colors: optional (B, pop, K, 3) seed palettes (e.g. ops.kmeans);
+    # None = the reference's uniform-random init.
     @jax.jit
-    def init(images, targets, keys):
-        def body(imgs_local, tgt_local, keys_local):
-            def per_image(img, tgt, key):
+    def init(images, targets, keys, init_colors=None):
+        def body(imgs_local, tgt_local, keys_local, *colors_local):
+            def per_image(img, tgt, key, *colors):
                 fitness = make_strip_fitness(img, tgt, mats_h, mats_v, half, wp, cfg)
-                return swasa_loop.init_state(key, fitness, cfg.swasa)
+                return swasa_loop.init_state(
+                    key, fitness, cfg.swasa, colors[0] if colors else None
+                )
 
-            return jax.vmap(per_image)(imgs_local, tgt_local, keys_local)
+            return jax.vmap(per_image)(
+                imgs_local, tgt_local, keys_local, *colors_local
+            )
 
-        return _sm(body, (img_spec, img_spec, state_spec), state_spec)(
-            images, targets, keys
-        )
+        in_specs = [img_spec, img_spec, state_spec]
+        args = [images, targets, keys]
+        if init_colors is not None:
+            in_specs.append(state_spec)
+            args.append(init_colors)
+        return _sm(body, tuple(in_specs), state_spec)(*args)
 
     # -- one scan chunk of num_iters annealing iterations -------------------
     @functools.partial(jax.jit, static_argnames=("num_iters",))

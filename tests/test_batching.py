@@ -78,3 +78,28 @@ def test_batch_cli_smoke(tmp_path, rng):
     out_files = sorted((tmp_path / "out").iterdir())
     assert len(out_files) == 3
     assert "batch done" in proc.stdout
+
+
+def test_batch_kmeans_init_and_polish(rng):
+    """kmeans seeding + Lloyd polish through the sharded batch engine."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.parallel import ShardedBatchQuantizer, make_mesh
+
+    imgs = rng.random((2, 24, 32, 3)).astype(np.float32)
+    mesh = make_mesh(2, 2)
+    for init in ["random", "kmeans"]:
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=6, population=2, imax=4), init=init
+        )
+        q = ShardedBatchQuantizer(cfg, mesh)
+        out, info = q.run(imgs, polish_iters=3)
+        assert out.shape == imgs.shape
+        assert np.isfinite(info["best_errors"]).all()
+        # polished palettes stay in gamut and keep their shape
+        assert info["palettes"].shape == (2, 6, 3)
+        assert info["palettes"].min() >= 0.0 and info["palettes"].max() <= 1.0
