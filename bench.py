@@ -142,11 +142,16 @@ def main() -> None:
     from hybridquantization_tpu.ops.assign import lloyd_polish
 
     def e2e_quality_schedule(img, key):
+        # EVERYTHING a fresh image needs, timed: context build (target
+        # S-CIELAB + pixel packing), k-means seeding, 100 anneal iterations,
+        # Lloyd polish. The context is built from THIS image — a stale
+        # shared ctx would anneal against the wrong target.
+        ctx_i = _make_context(img, engine.filters, cfg)
         pixels = img.reshape(-1, 3)
         seeds = kmeans_init_palettes(key, pixels, K, POP)
-        st = _init_jit(key, ctx, cfg, half, seeds)
+        st = _init_jit(key, ctx_i, cfg, half, seeds)
         for _ in range(10):
-            st, _ = _chunk_jit(st, ctx, cfg, 10, half)
+            st, _ = _chunk_jit(st, ctx_i, cfg, 10, half)
         pal = lloyd_polish(pixels, st.best_colors, 10)
         return jax.device_get(pal), float(jax.device_get(st.best_error))
 
@@ -154,6 +159,7 @@ def main() -> None:
     if on_tpu:
         img2 = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
         e2e_quality_schedule(image, jax.random.PRNGKey(1))  # compile warmup
+        jax.block_until_ready(img2)
         t0 = time.perf_counter()
         _, fit100 = e2e_quality_schedule(img2, jax.random.PRNGKey(2))
         t_e2e = time.perf_counter() - t0

@@ -280,6 +280,12 @@ def cmd_quantize_batch(args) -> int:
     if args.distributed:
         from .parallel.multihost import distributed_mesh, init_distributed
 
+        if args.mesh_data != 1:
+            print(
+                "--mesh-data is ignored with --distributed: the data axis is "
+                "derived as total devices / --mesh-pixel",
+                file=sys.stderr,
+            )
         init_distributed(args.coordinator, args.num_processes, args.process_id)
         mesh = distributed_mesh(args.mesh_pixel or None)
     else:

@@ -174,6 +174,35 @@ def lloyd_polish(
     return jax.lax.fori_loop(0, iters, body, palette)
 
 
+def polish_palette(
+    pixels_srgb: jnp.ndarray,
+    palette_srgb: jnp.ndarray,
+    space: str,
+    whitepoint,
+    iters: int,
+) -> jnp.ndarray:
+    """Lloyd-polish an sRGB palette in the given assignment space.
+
+    The single shared rule used by both the single-image engine and the
+    sharded batch engine: "lab" converts to CIELAB, polishes there, and
+    maps back with gamut clamping; "srgb" polishes directly. Always
+    returns sRGB in [0, 1].
+    """
+    from .. import colorspace as cs
+
+    if space == "lab":
+        wp = jnp.asarray(whitepoint)
+        out = lloyd_polish(
+            cs.srgb_to_lab(pixels_srgb, wp),
+            cs.srgb_to_lab(palette_srgb, wp),
+            iters,
+        )
+        return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
+    if space != "srgb":
+        raise ValueError(f"unknown assignment space {space!r}")
+    return jnp.clip(lloyd_polish(pixels_srgb, palette_srgb, iters), 0.0, 1.0)
+
+
 def quantize_image(image_hwc: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     """Replace each pixel by its nearest palette color (same feature space).
 

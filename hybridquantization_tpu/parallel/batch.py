@@ -15,11 +15,38 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
 from ..config import QuantizationConfig
 from ..scielab.filters import build_filters
 from . import fast
 from .mesh import DATA_AXIS, PIXEL_AXIS, make_mesh
 from .sharded import build_sharded_fns
+
+
+@functools.partial(jax.jit, static_argnames=("num_colors", "population"))
+def _kmeans_seeds_batch(keys, images, num_colors, population):
+    """(B, pop, K, 3) per-image k-means seed palettes (module-level jit so
+    repeated same-shape batches hit the compile cache)."""
+    from ..ops.kmeans import kmeans_init_palettes
+
+    return jax.vmap(
+        lambda k, im: kmeans_init_palettes(
+            k, im.reshape(-1, 3), num_colors, population
+        )
+    )(keys, images)
+
+
+@functools.partial(jax.jit, static_argnames=("space", "iters"))
+def _polish_batch(images, palettes, wp, space, iters):
+    """Per-image Lloyd polish (ops.assign.polish_palette), batch-vmapped."""
+    from ..ops.assign import polish_palette
+
+    return jax.vmap(
+        lambda im, pal: polish_palette(
+            im.reshape(-1, 3), pal, space, wp, iters
+        )
+    )(images, palettes)
 
 
 class ShardedBatchQuantizer:
@@ -77,23 +104,38 @@ class ShardedBatchQuantizer:
                 f"half-width {self.filters.half_width}"
             )
 
-    def _to_global(self, arr):
-        """Host numpy -> device array, multi-host-correct.
+    def _to_global(self, arr, dtype=jnp.float32):
+        """Host array -> device array, multi-host-correct.
 
         Single process: a plain device transfer. Multi-process (pod slice):
         every host holds the SAME full batch (the CLI loads the same input
-        list everywhere); each process materializes only its addressable
-        shards of a batch-sharded global array, so no host ships data it
-        does not own to the computation.
+        list everywhere, and keys/palettes derive deterministically from
+        seeds); each process materializes only its addressable shards of a
+        batch-sharded global array, so no host ships data it does not own.
         """
         if jax.process_count() == 1:
-            return jnp.asarray(arr, jnp.float32)
+            return jnp.asarray(arr, dtype)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        arr = np.asarray(arr, np.float32)
+        arr = np.asarray(jax.device_get(arr)).astype(dtype)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         return jax.make_array_from_callback(
             arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    def _fetch(self, x):
+        """device_get that works on cross-host-sharded arrays.
+
+        Multi-process arrays are not fully addressable locally; gather them
+        to every host first (init/telemetry-rate data only — small)."""
+        if jax.process_count() == 1:
+            return jax.device_get(x)
+        from jax.experimental import multihost_utils
+
+        return jax.device_get(
+            jax.tree.map(
+                lambda a: multihost_utils.process_allgather(a, tiled=True), x
+            )
         )
 
     def _use_fast(self, images) -> bool:
@@ -119,7 +161,12 @@ class ShardedBatchQuantizer:
         B = images.shape[0]
         if seeds is None:
             seeds = np.arange(B, dtype=np.uint32) + cfg.seed
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+        seeds = np.asarray(seeds, np.uint32)
+        # Keys derive deterministically from seeds on every host, then become
+        # batch-sharded global arrays like the images.
+        keys = self._to_global(
+            jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds)), jnp.uint32
+        )
 
         prepare, init_fn, chunk_fn = self._prepare, self._init, self._chunk
         if self._use_fast(images):
@@ -127,21 +174,15 @@ class ShardedBatchQuantizer:
 
         init_colors = None
         if cfg.init == "kmeans":
-            from ..ops.kmeans import kmeans_init_palettes
-
-            km_keys = jax.vmap(jax.random.PRNGKey)(
-                jnp.asarray(seeds, jnp.uint32) + jnp.uint32(0x9E3779B9)
+            km_keys = self._to_global(
+                jax.vmap(jax.random.PRNGKey)(
+                    jnp.asarray(seeds + np.uint32(0x9E3779B9))
+                ),
+                jnp.uint32,
             )
-            init_colors = jax.jit(
-                jax.vmap(
-                    lambda k, im: kmeans_init_palettes(
-                        k,
-                        im.reshape(-1, 3),
-                        cfg.swasa.num_colors,
-                        cfg.swasa.population,
-                    )
-                )
-            )(km_keys, images)
+            init_colors = _kmeans_seeds_batch(
+                km_keys, images, cfg.swasa.num_colors, cfg.swasa.population
+            )
         elif cfg.init != "random":
             raise ValueError(f"unknown init {cfg.init!r}")
 
@@ -157,7 +198,7 @@ class ShardedBatchQuantizer:
             n = min(chunk, imax - done)
             state, telemetry = chunk_fn(state, images, targets, n)
             done += n
-            traj.append(jax.device_get(telemetry["best_error"][:, -1]))
+            traj.append(self._fetch(telemetry["best_error"][:, -1]))
             if progress is not None:
                 elapsed = time.time() - start
                 stats = {
@@ -168,48 +209,32 @@ class ShardedBatchQuantizer:
                     break
 
         info = {
-            "best_errors": np.asarray(jax.device_get(state.best_error)),
+            "best_errors": np.asarray(self._fetch(state.best_error)),
             "iterations": done,
             "seconds": time.time() - start,
             "state": state,
         }
-        return jax.device_get(state.best_colors), info
+        return self._fetch(state.best_colors), info
 
     def quantize(self, images, palettes):
         images = self._to_global(images)
-        return self._quantize(images, jnp.asarray(palettes, jnp.float32))
+        return self._quantize(images, self._to_global(palettes))
 
     def polish(self, images, palettes, iters: int = 10):
         """Per-image Lloyd refinement (pipeline.HybridQuantizer.polish doc)."""
         from .. import colorspace as cs
-        from ..ops.assign import lloyd_polish
 
         images = self._to_global(images)
-        palettes = jnp.asarray(palettes, jnp.float32)
-        lab = self.config.assignment_space == "lab"
-        wp = jnp.asarray(
-            cs.WHITEPOINTS[self.config.scielab.whitepoint]
+        palettes = self._to_global(palettes)
+        wp = jnp.asarray(cs.WHITEPOINTS[self.config.scielab.whitepoint])
+        return _polish_batch(
+            images, palettes, wp, self.config.assignment_space, iters
         )
-
-        @jax.jit
-        def run_all(imgs, pals):
-            def one(img, pal):
-                pixels = img.reshape(-1, 3)
-                if lab:
-                    out = lloyd_polish(
-                        cs.srgb_to_lab(pixels, wp), cs.srgb_to_lab(pal, wp), iters
-                    )
-                    return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
-                return jnp.clip(lloyd_polish(pixels, pal, iters), 0.0, 1.0)
-
-            return jax.vmap(one)(imgs, pals)
-
-        return run_all(images, palettes)
 
     def run(self, images, seeds=None, progress=None, polish_iters: int = 0):
         palettes, info = self.find_palettes(images, seeds, progress)
         if polish_iters:
-            palettes = jax.device_get(self.polish(images, palettes, polish_iters))
+            palettes = self._fetch(self.polish(images, palettes, polish_iters))
         out = self.quantize(images, palettes)
         info["palettes"] = palettes
         return jax.device_get(out), info

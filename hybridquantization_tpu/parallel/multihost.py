@@ -33,9 +33,16 @@ def init_distributed(
 
     With no arguments, relies on the environment (TPU pod metadata or
     JAX_COORDINATOR_ADDRESS etc.).
+
+    MUST run before anything initializes XLA backends — even
+    jax.process_count()/jax.devices() does, after which
+    jax.distributed.initialize raises RuntimeError. The already-initialized
+    check therefore inspects the distributed client directly.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # distributed runtime already up (idempotent)
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

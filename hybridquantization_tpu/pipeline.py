@@ -433,14 +433,13 @@ class HybridQuantizer:
         """
         image = jnp.asarray(image_hwc, jnp.float32)
         palette = jnp.asarray(palette, jnp.float32)
-        pixels = image.reshape(-1, 3)
-        if self.config.assignment_space == "lab":
-            wp = self._whitepoint
-            feats = cs.srgb_to_lab(pixels, wp)
-            pal_feats = cs.srgb_to_lab(palette, wp)
-            out = assign_ops.lloyd_polish(feats, pal_feats, iters)
-            return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
-        return jnp.clip(assign_ops.lloyd_polish(pixels, palette, iters), 0.0, 1.0)
+        return assign_ops.polish_palette(
+            image.reshape(-1, 3),
+            palette,
+            self.config.assignment_space,
+            self._whitepoint,
+            iters,
+        )
 
     # -- Quantize / error image --------------------------------------------
 
