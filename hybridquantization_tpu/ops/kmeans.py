@@ -64,6 +64,14 @@ def weighted_kmeans(
     to their pixel counts. Each step assigns every bin to its nearest
     palette entry (one MXU matmul) and moves entries to the count-weighted
     centroid of their bins; entries with no bins keep their color.
+
+    Images with fewer occupied histogram bins than K necessarily seed the
+    surplus entries at zero-weight grid centers (shapes are static under
+    jit, so "how many bins are occupied" cannot change the sample size).
+    Those entries attract no bins and stay put — which is the right
+    behavior: a K-entry palette for an image with < K distinct colors has
+    surplus entries under ANY init, and SWASA's unused-color penalty is
+    the mechanism that handles them (SURVEY.md 2b).
     """
     B = counts.shape[0]
     probs = counts / jnp.maximum(jnp.sum(counts), 1.0)
