@@ -60,8 +60,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
     g.add_argument(
         "--fast", action="store_true",
-        help="shorthand for --precision bf16 --tie-mode average (validated "
-        "within the 1%% quality-parity budget; docs/PERFORMANCE.md)",
+        help="shorthand for --precision bf16 --tie-mode average (trades "
+        "~1.2%% mean-deltaE for speed, measured; docs/PERFORMANCE.md)",
     )
 
 

@@ -52,10 +52,10 @@ class QuantizationConfig:
       "highest" (true f32, 6 bf16 MXU passes; bit-matches the jnp path),
       "f32x3" (hi/lo bf16 split, 3 passes, |err| ~1e-7 — the default;
       assignment flips only on score gaps below ~1e-7, quality-neutral),
-      "bf16" (1 pass fast mode; flips ~0.7% of assignments, measured —
-      still inside the 1% quality-parity budget, validate per-use with
-      tools/parity_check). The reference computes f32 distances
-      (OptimizedConvolution.cl:155).
+      "bf16" (1 pass fast mode; flips ~0.7% of assignments and costs
+      ~1.2% mean-deltaE at convergence — measured over 24 seeds, JUST
+      outside the 1% parity budget; use f32x3 whenever parity matters).
+      The reference computes f32 distances (OptimizedConvolution.cl:155).
     tie_mode: exact-score tie handling in the Pallas assignment kernel —
       "first" picks the lowest palette index like the reference's
       strict-less scan (OptimizedConvolution.cl:158-167); "average" returns
