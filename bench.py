@@ -9,7 +9,7 @@ itself — "<= 10 s to quantize a 4K image to K=256" — against the measured
 end-to-end wall time of the quality-matched schedule (k-means seeding +
 100 SWASA iterations + 10 Lloyd polish steps, which reaches BETTER mean
 deltaE than the reference's own random-init imax=5000 schedule; measured
-3.03 vs 5.66, docs/PERFORMANCE.md). vs_baseline = 10 s / measured e2e
+3.04 vs 5.66, docs/PERFORMANCE.md). vs_baseline = 10 s / measured e2e
 seconds; >= 1.0 means the north-star target is met on one chip at
 reference-or-better quality.
 
@@ -139,7 +139,7 @@ def main() -> None:
     # schedule end-to-end (palette search + polish), reusing the compiled
     # chunk program (same cfg; the seeds enter via init_colors).
     from hybridquantization_tpu.ops.kmeans import kmeans_init_palettes
-    from hybridquantization_tpu.ops.assign import lloyd_polish
+    from hybridquantization_tpu.ops.assign import polish_palette
 
     def e2e_quality_schedule(img, key):
         # EVERYTHING a fresh image needs, timed: context build (target
@@ -152,7 +152,7 @@ def main() -> None:
         st = _init_jit(key, ctx_i, cfg, half, seeds)
         for _ in range(10):
             st, _ = _chunk_jit(st, ctx_i, cfg, 10, half)
-        pal = lloyd_polish(pixels, st.best_colors, 10)
+        pal = polish_palette(pixels, st.best_colors, "srgb", None, 10)
         return jax.device_get(pal), float(jax.device_get(st.best_error))
 
     t_e2e, fit100 = float("nan"), float("nan")
@@ -185,7 +185,7 @@ def main() -> None:
                     "e2e_schedule": (
                         "kmeans seed + 100 SWASA iters + 10 Lloyd steps; "
                         "beats the reference random/imax=5000 schedule's "
-                        "mean deltaE at 4K/K256 (3.03 vs 5.66 measured)"
+                        "mean deltaE at 4K/K256 (3.04 vs 5.66 measured)"
                     ),
                     "e2e_fitness_after_100_iters": round(fit100, 4) if on_tpu else None,
                     "final_best_error_40iters": float(
@@ -195,7 +195,7 @@ def main() -> None:
                     "baseline_derivation": (
                         "vs_baseline = 10 s north-star target / measured "
                         "e2e seconds of the quality-matched schedule "
-                        "(kmeans + 100 iters + polish, deltaE 3.03 vs the "
+                        "(kmeans + 100 iters + polish, deltaE 3.04 vs the "
                         "reference schedule's 5.66)"
                     ),
                 },

