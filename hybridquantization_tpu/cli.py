@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Lloyd (k-means) refinement steps after the anneal (beyond-"
         "reference feature; monotone in assignment-space MSE)",
     )
+    q.add_argument(
+        "--dither", type=float, default=0.0, metavar="S",
+        help="ordered Bayer dithering strength for the final quantize pass "
+        "(0 = off, reference parity; ~1 reduces gradient banding)",
+    )
     q.add_argument("--error-image", metavar="PATH", help="also write the Delta-E error image")
     q.add_argument("--palette-out", metavar="PATH", help="write the palette as .npy")
     q.add_argument("--checkpoint", metavar="PATH", help="checkpoint file to save/resume")
@@ -226,7 +231,7 @@ def cmd_quantize(args) -> int:
     if args.polish:
         palette = np.asarray(engine.polish(image, palette, iters=args.polish))
         print(f"polished palette with {args.polish} Lloyd steps")
-    out = np.asarray(engine.quantize(image, palette))
+    out = np.asarray(engine.quantize(image, palette, dither=args.dither))
     hio.save_image(args.output, out)
     print(f"wrote {args.output}")
     if args.palette_out:

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _dot(pixels, palette, precision):
@@ -237,4 +238,54 @@ def quantize_image(image_hwc: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     """
     H, W, F = image_hwc.shape
     idx = nearest_palette(image_hwc.reshape(-1, F), palette)
+    return palette[idx].reshape(H, W, F)
+
+
+def bayer_matrix(order: int = 3) -> jnp.ndarray:
+    """(2^order, 2^order) ordered-dither thresholds in [-0.5, 0.5).
+
+    Recursive Bayer construction; mean-zero so dithering adds no DC bias.
+    """
+    m = np.zeros((1, 1), np.float32)
+    for _ in range(order):
+        n = m.shape[0]
+        m = np.block([
+            [4 * m + 0, 4 * m + 2],
+            [4 * m + 3, 4 * m + 1],
+        ])
+    size = m.shape[0]
+    # (k + 0.5)/n^2 - 0.5 centers the threshold set exactly at zero mean.
+    return jnp.asarray((m + 0.5) / (size * size) - 0.5, jnp.float32)
+
+
+def quantize_image_dithered(
+    image_hwc: jnp.ndarray,
+    palette: jnp.ndarray,
+    strength: float = 1.0,
+    order: int = 3,
+) -> jnp.ndarray:
+    """Ordered (Bayer) dithered nearest-palette quantization.
+
+    Beyond-reference feature: the reference hard-assigns every pixel, which
+    bands smooth gradients at small K. Ordered dithering perturbs each pixel
+    by a tiled mean-zero threshold matrix scaled by the local palette
+    spacing before the nearest lookup — spatially stable, fully parallel
+    (unlike error-diffusion dithers, which are sequential scans and a poor
+    fit for any wide-vector hardware). strength=1 spreads thresholds over
+    the mean nearest-neighbor distance between palette entries.
+    """
+    H, W, F = image_hwc.shape
+    K = palette.shape[0]
+    bayer = bayer_matrix(order)
+    n = bayer.shape[0]
+    tiles = bayer[
+        jnp.arange(H)[:, None] % n, jnp.arange(W)[None, :] % n
+    ]  # (H, W)
+    # palette spacing: mean distance from each entry to its nearest other
+    d2 = jnp.sum(
+        (palette[:, None, :] - palette[None, :, :]) ** 2, axis=-1
+    ) + jnp.eye(K) * 1e9
+    spacing = jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)))
+    perturbed = image_hwc + (strength * spacing) * tiles[..., None]
+    idx = nearest_palette(perturbed.reshape(-1, F), palette)
     return palette[idx].reshape(H, W, F)

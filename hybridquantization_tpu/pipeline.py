@@ -451,11 +451,21 @@ class HybridQuantizer:
             return palette[idx].reshape(image.shape)
         return assign_ops.quantize_image(image, palette)
 
-    def quantize(self, image_hwc, palette) -> jax.Array:
-        """Apply a palette (nearest in the configured assignment space)."""
-        return self._quantize_jit(
-            jnp.asarray(image_hwc, jnp.float32), jnp.asarray(palette, jnp.float32)
-        )
+    def quantize(self, image_hwc, palette, dither: float = 0.0) -> jax.Array:
+        """Apply a palette (nearest in the configured assignment space).
+
+        dither > 0 applies ordered Bayer dithering scaled by the palette
+        spacing before the nearest lookup (ops.assign.quantize_image_dithered
+        — beyond-reference; reduces banding in smooth gradients at small K).
+        Dithering operates in sRGB regardless of the assignment space.
+        """
+        image = jnp.asarray(image_hwc, jnp.float32)
+        pal = jnp.asarray(palette, jnp.float32)
+        if dither > 0.0:
+            return jax.jit(assign_ops.quantize_image_dithered, static_argnums=(2,))(
+                image, pal, float(dither)
+            )
+        return self._quantize_jit(image, pal)
 
     def error_image(self, original_hwc, quantized_hwc):
         """Mean S-CIELAB Delta-E + visualization image.

@@ -218,3 +218,36 @@ def test_polish_palette_methods(rng):
         )
         assert out.shape == palette.shape
         assert _assign_mse(pixels, out) < _assign_mse(pixels, palette)
+
+
+def test_quantize_image_dithered(rng):
+    """Dithered quantize: output stays on the palette, differs from the hard
+    assignment on a smooth gradient, and dither=0 semantics match."""
+    H, W = 32, 64
+    grad = np.linspace(0.2, 0.8, W, dtype=np.float32)
+    img = np.broadcast_to(grad[None, :, None], (H, W, 3)).copy()
+    palette = np.stack([np.linspace(0.0, 1.0, 4, dtype=np.float32)] * 3, -1)
+    hard = np.asarray(assign.quantize_image(jnp.asarray(img), jnp.asarray(palette)))
+    dith = np.asarray(
+        assign.quantize_image_dithered(
+            jnp.asarray(img), jnp.asarray(palette), strength=1.0
+        )
+    )
+    # every dithered pixel is a palette color
+    d = np.linalg.norm(dith.reshape(-1, 3)[:, None] - palette[None], axis=-1)
+    assert d.min(1).max() < 1e-6
+    # dithering changes some assignments on the gradient
+    assert (dith != hard).any()
+    # the point of dithering: the spatial average tracks the ramp. Columns
+    # are constant-valued, so the per-column mean must be closer to the true
+    # ramp than the hard assignment's (which is just the quantized level).
+    hard_err = np.abs(hard.mean(axis=0)[:, 0] - grad).mean()
+    dith_err = np.abs(dith.mean(axis=0)[:, 0] - grad).mean()
+    assert dith_err < hard_err
+
+
+def test_bayer_matrix_properties():
+    m = np.asarray(assign.bayer_matrix(3))
+    assert m.shape == (8, 8)
+    assert abs(m.mean()) < 1e-6
+    assert len(np.unique(m)) == 64
