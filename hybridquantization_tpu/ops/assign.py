@@ -132,6 +132,8 @@ def lloyd_step(
     *,
     block_size: int = 1 << 16,
     precision: str = "highest",
+    use_pallas: bool = False,
+    x4: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One Lloyd (k-means) step: move each palette entry to the centroid of
     its assigned pixels; entries no pixel selected keep their color.
@@ -142,15 +144,24 @@ def lloyd_step(
     only optimizer — so this is a beyond-parity feature: Lloyd steps are
     monotone in assignment-space MSE.
 
-    On TPU the assignment runs through the fused Pallas index kernel at
+    use_pallas routes the assignment through the Pallas index kernel at
     f32x3 (the jnp HIGHEST path costs ~6x in MXU passes; polish is a
-    beyond-reference stage, so ~1e-7 score error is irrelevant here).
+    beyond-reference stage, so ~1e-7 score error is irrelevant). Only
+    enable it from single-image TPU entry points — pallas_call has no
+    GSPMD partitioning rule, so it must NOT be reached under a vmapped
+    sharded jit (the batch engine keeps the jnp path). `x4` optionally
+    passes pre-packed pixels (pack_pixels) so loops don't re-pack the
+    loop-invariant pixel buffer every step.
     """
     K = palette.shape[0]
-    if jax.default_backend() == "tpu":
+    if use_pallas:
         from . import pallas_assign as pa
 
-        idx = pa.nearest_palette_pallas(pixels, palette, precision="f32x3")
+        if x4 is not None:
+            c4, _ = pa.pack_palette(palette, palette)
+            idx = pa.assign_idx(x4, c4, precision="f32x3")[0, : pixels.shape[0]]
+        else:
+            idx = pa.nearest_palette_pallas(pixels, palette, precision="f32x3")
     else:
         idx = nearest_palette(
             pixels, palette, block_size=block_size, precision=precision
@@ -164,7 +175,7 @@ def lloyd_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "block_size", "precision")
+    jax.jit, static_argnames=("iters", "block_size", "precision", "use_pallas")
 )
 def lloyd_polish(
     pixels: jnp.ndarray,
@@ -173,12 +184,23 @@ def lloyd_polish(
     *,
     block_size: int = 1 << 16,
     precision: str = "highest",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """`iters` Lloyd steps (see lloyd_step) as one compiled loop."""
+    """`iters` Lloyd steps (see lloyd_step) as one compiled loop.
+
+    use_pallas: single-image TPU entry points only (lloyd_step doc); the
+    pixel packing happens once outside the loop.
+    """
+    x4 = None
+    if use_pallas:
+        from . import pallas_assign as pa
+
+        x4 = pa.pack_pixels(pixels)
 
     def body(_, pal):
         return lloyd_step(
-            pixels, pal, block_size=block_size, precision=precision
+            pixels, pal, block_size=block_size, precision=precision,
+            use_pallas=use_pallas, x4=x4,
         )
 
     return jax.lax.fori_loop(0, iters, body, palette)
@@ -191,6 +213,7 @@ def polish_palette(
     whitepoint,
     iters: int,
     method: str = "auto",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Lloyd-polish an sRGB palette in the given assignment space.
 
@@ -214,6 +237,7 @@ def polish_palette(
             cs.srgb_to_lab(pixels_srgb, wp),
             cs.srgb_to_lab(palette_srgb, wp),
             iters,
+            use_pallas=use_pallas,
         )
         return jnp.clip(cs.lab_to_srgb(out, wp), 0.0, 1.0)
     if space != "srgb":
@@ -225,7 +249,7 @@ def polish_palette(
 
         out = lloyd_polish_hist(pixels_srgb, palette_srgb, iters)
     elif method == "exact":
-        out = lloyd_polish(pixels_srgb, palette_srgb, iters)
+        out = lloyd_polish(pixels_srgb, palette_srgb, iters, use_pallas=use_pallas)
     else:
         raise ValueError(f"unknown polish method {method!r}")
     return jnp.clip(out, 0.0, 1.0)
@@ -248,7 +272,6 @@ def bayer_matrix(order: int = 3) -> jnp.ndarray:
     """
     m = np.zeros((1, 1), np.float32)
     for _ in range(order):
-        n = m.shape[0]
         m = np.block([
             [4 * m + 0, 4 * m + 2],
             [4 * m + 3, 4 * m + 1],

@@ -237,4 +237,4 @@ class ShardedBatchQuantizer:
             palettes = self._fetch(self.polish(images, palettes, polish_iters))
         out = self.quantize(images, palettes)
         info["palettes"] = palettes
-        return jax.device_get(out), info
+        return self._fetch(out), info

@@ -39,10 +39,15 @@ def init_distributed(
     jax.distributed.initialize raises RuntimeError. The already-initialized
     check therefore inspects the distributed client directly.
     """
-    from jax._src import distributed as _dist
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        if is_init():
+            return  # distributed runtime already up (idempotent)
+    else:  # older JAX without the public probe
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # distributed runtime already up (idempotent)
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

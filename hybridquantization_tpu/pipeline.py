@@ -34,6 +34,21 @@ from .swasa import loop as swasa_loop
 from .swasa import schedule
 from .swasa.state import SWASAState
 
+@jax.jit
+def _dither_perturb_jit(image_hwc, palette, strength):
+    """sRGB Bayer perturbation (ops.assign.quantize_image_dithered doc)."""
+    H, W, _ = image_hwc.shape
+    K = palette.shape[0]
+    bayer = assign_ops.bayer_matrix()
+    n = bayer.shape[0]
+    tiles = bayer[jnp.arange(H)[:, None] % n, jnp.arange(W)[None, :] % n]
+    d2 = jnp.sum(
+        (palette[:, None, :] - palette[None, :, :]) ** 2, axis=-1
+    ) + jnp.eye(K) * 1e9
+    spacing = jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)))
+    return image_hwc + (strength * spacing) * tiles[..., None]
+
+
 # ProgressFn(iteration, imax, telemetry) -> bool: return False to stop early.
 ProgressFn = Callable[[int, int, dict], bool]
 
@@ -439,6 +454,9 @@ class HybridQuantizer:
             self.config.assignment_space,
             self._whitepoint,
             iters,
+            # single-image entry: safe for the Pallas index kernel (not
+            # under a vmapped sharded jit — lloyd_step doc)
+            use_pallas=jax.default_backend() == "tpu",
         )
 
     # -- Quantize / error image --------------------------------------------
@@ -454,17 +472,17 @@ class HybridQuantizer:
     def quantize(self, image_hwc, palette, dither: float = 0.0) -> jax.Array:
         """Apply a palette (nearest in the configured assignment space).
 
-        dither > 0 applies ordered Bayer dithering scaled by the palette
-        spacing before the nearest lookup (ops.assign.quantize_image_dithered
-        — beyond-reference; reduces banding in smooth gradients at small K).
-        Dithering operates in sRGB regardless of the assignment space.
+        dither > 0 perturbs the pixels with a tiled mean-zero Bayer
+        threshold matrix scaled by the sRGB palette spacing BEFORE the
+        nearest lookup (beyond-reference; reduces banding in smooth
+        gradients at small K). The perturbation is in sRGB; the assignment
+        itself still uses the configured assignment space. Strength is a
+        traced scalar, so varying it never recompiles.
         """
         image = jnp.asarray(image_hwc, jnp.float32)
         pal = jnp.asarray(palette, jnp.float32)
         if dither > 0.0:
-            return jax.jit(assign_ops.quantize_image_dithered, static_argnums=(2,))(
-                image, pal, float(dither)
-            )
+            image = _dither_perturb_jit(image, pal, jnp.float32(dither))
         return self._quantize_jit(image, pal)
 
     def error_image(self, original_hwc, quantized_hwc):
