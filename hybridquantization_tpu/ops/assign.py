@@ -281,6 +281,33 @@ def bayer_matrix(order: int = 3) -> jnp.ndarray:
     return jnp.asarray((m + 0.5) / (size * size) - 0.5, jnp.float32)
 
 
+def dither_perturbation(
+    image_hwc: jnp.ndarray,
+    palette: jnp.ndarray,
+    strength,
+    order: int = 3,
+) -> jnp.ndarray:
+    """Image + tiled mean-zero Bayer thresholds scaled by palette spacing.
+
+    The single source of the Bayer + palette-spacing perturbation math used
+    by both quantize_image_dithered and pipeline.HybridQuantizer.quantize.
+    strength may be a traced scalar (varying it never recompiles).
+    """
+    H, W, _ = image_hwc.shape
+    K = palette.shape[0]
+    bayer = bayer_matrix(order)
+    n = bayer.shape[0]
+    tiles = bayer[
+        jnp.arange(H)[:, None] % n, jnp.arange(W)[None, :] % n
+    ]  # (H, W)
+    # palette spacing: mean distance from each entry to its nearest other
+    d2 = jnp.sum(
+        (palette[:, None, :] - palette[None, :, :]) ** 2, axis=-1
+    ) + jnp.eye(K) * 1e9
+    spacing = jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)))
+    return image_hwc + (strength * spacing) * tiles[..., None]
+
+
 def quantize_image_dithered(
     image_hwc: jnp.ndarray,
     palette: jnp.ndarray,
@@ -298,17 +325,6 @@ def quantize_image_dithered(
     the mean nearest-neighbor distance between palette entries.
     """
     H, W, F = image_hwc.shape
-    K = palette.shape[0]
-    bayer = bayer_matrix(order)
-    n = bayer.shape[0]
-    tiles = bayer[
-        jnp.arange(H)[:, None] % n, jnp.arange(W)[None, :] % n
-    ]  # (H, W)
-    # palette spacing: mean distance from each entry to its nearest other
-    d2 = jnp.sum(
-        (palette[:, None, :] - palette[None, :, :]) ** 2, axis=-1
-    ) + jnp.eye(K) * 1e9
-    spacing = jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)))
-    perturbed = image_hwc + (strength * spacing) * tiles[..., None]
+    perturbed = dither_perturbation(image_hwc, palette, strength, order)
     idx = nearest_palette(perturbed.reshape(-1, F), palette)
     return palette[idx].reshape(H, W, F)

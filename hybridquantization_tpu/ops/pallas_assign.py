@@ -175,8 +175,10 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
     idx = jnp.min(t, axis=0)
     # Fold the pixel-valid mask into idx (a cheap (1, bp) select): -1
     # matches no t entry, so invalid columns produce an all-zero one-hot
-    # without a full-size AND pass.
-    idx = jnp.where(valid[0], idx, -1)
+    # without a full-size AND pass. idx == kp means NO hit at all (possible
+    # only with NaN scores) — map it to -1 too, else `t == idx` would mark
+    # every non-hit row and the winner gather would sum the whole palette.
+    idx = jnp.where(valid[0] & (idx < kp), idx, -1)
     onehot = t == idx[None, :]
     # bf16 one-hot: 0/1 are exact in bf16 and the downstream dots run at
     # DEFAULT without any f32->bf16 operand-split passes over (K_pad, BP).

@@ -232,7 +232,17 @@ class ShardedBatchQuantizer:
         )
 
     def run(self, images, seeds=None, progress=None, polish_iters: int = 0):
+        """find_palettes + optional Lloyd polish + quantize.
+
+        info["best_errors"] are the ANNEAL's final fitness values; with
+        polish_iters > 0 the returned palettes/images are post-polish (the
+        polish optimizes assignment-space MSE, a different objective), so
+        info["palettes_polished"] flags that the errors describe the
+        pre-polish palettes. Use error_images() on the outputs for the
+        actual post-polish S-CIELAB Delta-E.
+        """
         palettes, info = self.find_palettes(images, seeds, progress)
+        info["palettes_polished"] = bool(polish_iters)
         if polish_iters:
             palettes = self._fetch(self.polish(images, palettes, polish_iters))
         out = self.quantize(images, palettes)

@@ -36,17 +36,8 @@ from .swasa.state import SWASAState
 
 @jax.jit
 def _dither_perturb_jit(image_hwc, palette, strength):
-    """sRGB Bayer perturbation (ops.assign.quantize_image_dithered doc)."""
-    H, W, _ = image_hwc.shape
-    K = palette.shape[0]
-    bayer = assign_ops.bayer_matrix()
-    n = bayer.shape[0]
-    tiles = bayer[jnp.arange(H)[:, None] % n, jnp.arange(W)[None, :] % n]
-    d2 = jnp.sum(
-        (palette[:, None, :] - palette[None, :, :]) ** 2, axis=-1
-    ) + jnp.eye(K) * 1e9
-    spacing = jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)))
-    return image_hwc + (strength * spacing) * tiles[..., None]
+    """sRGB Bayer perturbation (single source: ops.assign.dither_perturbation)."""
+    return assign_ops.dither_perturbation(image_hwc, palette, strength)
 
 
 # ProgressFn(iteration, imax, telemetry) -> bool: return False to stop early.
