@@ -146,6 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--polish", type=int, default=0, metavar="N",
         help="Lloyd refinement steps after each anneal (see quantize --polish)",
     )
+    b.add_argument(
+        "--error-images", metavar="DIR",
+        help="also write per-image Delta-E error images (reference error-"
+        "image mode, batched + sharded) into DIR as <name>_DE.png",
+    )
     g = b.add_argument_group("multi-host (one process per host; parallel.multihost)")
     g.add_argument(
         "--distributed", action="store_true",
@@ -304,19 +309,32 @@ def cmd_quantize_batch(args) -> int:
     images = [native.load_image(p) for p in args.inputs]
     _os.makedirs(args.out_dir, exist_ok=True)
 
+    if args.error_images:
+        _os.makedirs(args.error_images, exist_ok=True)
+
     def run_batch(stack):
         out, info = engine.run(stack, polish_iters=args.polish)
+        if args.error_images:
+            de, viz = engine.error_images(stack, out)
+            return out, info["best_errors"], info["palettes"], de, np.asarray(viz)
         return out, info["best_errors"], info["palettes"]
 
     t0 = time.time()
     results = run_bucketed(images, run_batch, n_data=engine.n_data)
     dt = time.time() - t0
     total_pix = sum(im.shape[0] * im.shape[1] for im in images)
-    for path, (out, err, palette) in zip(args.inputs, results):
+    for path, res in zip(args.inputs, results):
+        out, err, palette = res[:3]
         name = _os.path.splitext(_os.path.basename(path))[0]
         dest = _os.path.join(args.out_dir, f"{name}_q{args.colors}.png")
         hio.save_image(dest, out)
-        print(f"{dest}  error={float(err):.4f}")
+        line = f"{dest}  error={float(err):.4f}"
+        if args.error_images:
+            de, viz = res[3], res[4]
+            epath = _os.path.join(args.error_images, f"{name}_DE.png")
+            hio.save_image(epath, viz)
+            line += f"  DeltaE={float(de):.4f} -> {epath}"
+        print(line)
     print(
         f"batch done: {dt:.1f}s, {total_pix / 1e6:.1f} Mpix, "
         f"{total_pix * args.imax * args.population / dt / 1e6:.0f} Mpix-evals/s"

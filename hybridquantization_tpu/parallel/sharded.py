@@ -69,13 +69,20 @@ def strip_scielab(image_strip_hwc, mats_h, mats_v, half, whitepoint, axis_name=P
 
 def make_strip_fitness(
     image_strip_hwc, target_lab_strip, mats_h, mats_v, half, whitepoint,
-    cfg: QuantizationConfig, axis_name=PIXEL_AXIS,
+    cfg: QuantizationConfig, h_valid=None, axis_name=PIXEL_AXIS,
 ):
     """Per-palette fitness on a row strip; collectives combine shards.
 
     Same math as pipeline.make_fitness, plus one psum for the error sum and
     one for the usage OR (global penalty needs a cross-shard OR of used-color
     flags — SURVEY.md section 5 "collectives needed").
+
+    h_valid: optional traced int32 — the TRUE global image height when the
+    batch was row-padded to the shard multiple (ShardedBatchQuantizer pads
+    with mode="symmetric", so pad rows are mirror duplicates of real rows:
+    they give the true bottom edge exactly the reference's half-sample
+    reflection context and cannot introduce new palette usage). Rows with
+    global index >= h_valid are masked out of the Delta-E mean.
     """
     Hs, W, _ = image_strip_hwc.shape
     de_fn = cs.DELTA_E_FNS[cfg.deltaE]
@@ -101,8 +108,15 @@ def make_strip_fitness(
             ),
             whitepoint,
         )
-        local_err = jnp.sum(de_fn(target_lab_strip, q_lab))
-        total = Hs * W * lax.axis_size(axis_name)
+        de = de_fn(target_lab_strip, q_lab)
+        if h_valid is None:
+            local_err = jnp.sum(de)
+            total = jnp.float32(Hs * W * lax.axis_size(axis_name))
+        else:
+            i = lax.axis_index(axis_name)
+            row_ok = (i * Hs + jnp.arange(Hs)) < h_valid
+            local_err = jnp.sum(jnp.where(row_ok[:, None], de, 0.0))
+            total = h_valid.astype(jnp.float32) * W
         err = lax.psum(local_err, axis_name) / total
         err = err + schedule.unused_penalty(usage, cfg.swasa.delta)
         return err, usage
@@ -140,42 +154,55 @@ def build_sharded_fns(mesh, cfg: QuantizationConfig, filters: ScielabFilters):
 
     # -- init: palettes + initial fitness ------------------------------------
     # init_colors: optional (B, pop, K, 3) seed palettes (e.g. ops.kmeans);
-    # None = the reference's uniform-random init.
+    # None = the reference's uniform-random init. h_valid: optional traced
+    # () int32 true image height when the batch is row-padded (replicated;
+    # make_strip_fitness doc).
     @jax.jit
-    def init(images, targets, keys, init_colors=None):
-        def body(imgs_local, tgt_local, keys_local, *colors_local):
+    def init(images, targets, keys, init_colors=None, h_valid=None):
+        def body(imgs_local, tgt_local, keys_local, *rest):
+            rest = list(rest)
+            hv = rest.pop() if h_valid is not None else None
             def per_image(img, tgt, key, *colors):
-                fitness = make_strip_fitness(img, tgt, mats_h, mats_v, half, wp, cfg)
+                fitness = make_strip_fitness(
+                    img, tgt, mats_h, mats_v, half, wp, cfg, h_valid=hv
+                )
                 return swasa_loop.init_state(
                     key, fitness, cfg.swasa, colors[0] if colors else None
                 )
 
-            return jax.vmap(per_image)(
-                imgs_local, tgt_local, keys_local, *colors_local
-            )
+            return jax.vmap(per_image)(imgs_local, tgt_local, keys_local, *rest)
 
         in_specs = [img_spec, img_spec, state_spec]
         args = [images, targets, keys]
         if init_colors is not None:
             in_specs.append(state_spec)
             args.append(init_colors)
+        if h_valid is not None:
+            in_specs.append(P())
+            args.append(jnp.asarray(h_valid, jnp.int32))
         return _sm(body, tuple(in_specs), state_spec)(*args)
 
     # -- one scan chunk of num_iters annealing iterations -------------------
     @functools.partial(jax.jit, static_argnames=("num_iters",))
-    def chunk(state, images, targets, num_iters):
-        def body(state_local, imgs_local, tgt_local):
+    def chunk(state, images, targets, num_iters, h_valid=None):
+        def body(state_local, imgs_local, tgt_local, *rest):
+            hv = rest[0] if h_valid is not None else None
             def per_image(st, img, tgt):
-                fitness = make_strip_fitness(img, tgt, mats_h, mats_v, half, wp, cfg)
+                fitness = make_strip_fitness(
+                    img, tgt, mats_h, mats_v, half, wp, cfg, h_valid=hv
+                )
                 return swasa_loop.run_chunk(st, fitness, cfg.swasa, num_iters)
 
             return jax.vmap(per_image)(state_local, imgs_local, tgt_local)
 
+        in_specs = [state_spec, img_spec, img_spec]
+        args = [state, images, targets]
+        if h_valid is not None:
+            in_specs.append(P())
+            args.append(jnp.asarray(h_valid, jnp.int32))
         return _sm(
-            body,
-            (state_spec, img_spec, img_spec),
-            (state_spec, state_spec),
-        )(state, images, targets)
+            body, tuple(in_specs), (state_spec, state_spec),
+        )(*args)
 
     # -- final quantize pass ------------------------------------------------
     @jax.jit

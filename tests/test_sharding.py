@@ -145,12 +145,91 @@ def test_batch_matches_single_image_engine(rng):
 
 
 def test_batch_validation_errors(rng):
-    mesh = make_mesh(1, 4)
+    mesh = make_mesh(2, 4)
     q = ShardedBatchQuantizer(QuantizationConfig(), mesh)
-    with pytest.raises(ValueError, match="not divisible"):
-        q.find_palettes(np.zeros((1, 81, 16, 3), np.float32))
-    with pytest.raises(ValueError, match="half-width"):
-        q.find_palettes(np.zeros((1, 16, 16, 3), np.float32))
+    with pytest.raises(ValueError, match="data axis"):
+        q.find_palettes(np.zeros((3, 40, 16, 3), np.float32))
+    # Too short to row-shard: strips must be >= half (10), and the symmetric
+    # pad to 40 rows would exceed the 16-row image.
+    with pytest.raises(ValueError, match="too short to row-shard"):
+        q.find_palettes(np.zeros((2, 16, 16, 3), np.float32))
+
+
+def test_batch_odd_height_pads_and_matches_single(rng):
+    """H=41 over 4 row shards: the engine pads to 44 symmetric rows, masks
+    them out of the fitness, and matches the single-device engine exactly
+    (round-1 VERDICT: odd-H inputs must not bounce off the batch engine)."""
+    mesh = make_mesh(1, 4)
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=4, population=2, imax=10), seed=3
+    )
+    img = np.asarray(
+        rng.random((41, 24, 3)), np.float32
+    )
+
+    single = HybridQuantizer(cfg)
+    pal_single, info_single = single.find_palette(
+        img, key=jax.random.PRNGKey(3), chunk_size=10
+    )
+
+    batch = ShardedBatchQuantizer(cfg, mesh)
+    pal_batch, info_batch = batch.find_palettes(
+        img[None], seeds=np.array([3], np.uint32), chunk_size=10
+    )
+    np.testing.assert_allclose(pal_batch[0], pal_single, atol=2e-5)
+    assert info_batch["best_errors"][0] == pytest.approx(
+        info_single["best_error"], rel=1e-4
+    )
+    out = np.asarray(batch.quantize(img[None], pal_batch))
+    assert out.shape == (1, 41, 24, 3)
+    assert len(np.unique(out[0].reshape(-1, 3), axis=0)) <= 4
+
+
+def test_mixed_resolution_batch(rng):
+    """BASELINE config 4 shape: >= 3 distinct resolutions, including heights
+    not divisible by the pixel axis, end-to-end through run_bucketed on the
+    8-virtual-device mesh."""
+    from hybridquantization_tpu.batching import run_bucketed
+
+    mesh = make_mesh(2, 4)
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=4, population=2, imax=6), progress_every=6
+    )
+    q = ShardedBatchQuantizer(cfg, mesh)
+    sizes = [(40, 24), (41, 16), (53, 20), (41, 16), (40, 24)]
+    images = [np.asarray(rng.random((h, w, 3)), np.float32) for h, w in sizes]
+
+    def run_batch(stack):
+        out, info = q.run(stack)
+        return out, info["best_errors"]
+
+    results = run_bucketed(images, run_batch, n_data=q.n_data)
+    assert len(results) == len(images)
+    for (h, w), (out, err) in zip(sizes, results):
+        assert out.shape == (h, w, 3)
+        assert np.isfinite(err)
+        assert len(np.unique(out.reshape(-1, 3), axis=0)) <= 4
+
+
+def test_batch_error_images(rng):
+    """Batch error-image mode == the single-image engine's error_image
+    (reference error-image mode, HybridQuantization.java:139-182), on an
+    odd-H batch."""
+    mesh = make_mesh(1, 4)
+    cfg = QuantizationConfig(swasa=SWASAConfig(num_colors=4, population=2))
+    q = ShardedBatchQuantizer(cfg, mesh)
+    single = HybridQuantizer(cfg)
+    orig = np.asarray(rng.random((2, 41, 24, 3)), np.float32)
+    quant = np.clip(orig + rng.normal(scale=0.05, size=orig.shape), 0, 1).astype(
+        np.float32
+    )
+    de, viz = q.error_images(orig, quant)
+    viz = np.asarray(viz)
+    assert de.shape == (2,) and viz.shape == orig.shape
+    for b in range(2):
+        de_s, viz_s = single.error_image(orig[b], quant[b])
+        assert de[b] == pytest.approx(float(de_s), rel=1e-5)
+        np.testing.assert_allclose(viz[b], np.asarray(viz_s), atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
