@@ -65,7 +65,7 @@ from .. import colorspace as cs
 BLOCK = 128
 SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent source channel
 
-FUSED_DELTA_E = ("CIE76", "CIE94")  # CIEDE2000 falls back to the XLA path
+FUSED_DELTA_E = ("CIE76", "CIE94", "CIEDE2000")
 
 # ---------------------------------------------------------------------------
 # Matmul helper with precision modes
@@ -132,6 +132,35 @@ def _opp_tiles_to_lab(o0, o1, o2, whitepoint):
     return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
 
 
+def _atan2_tiles(y, x):
+    """atan2 for f32 tiles — Mosaic has no atan/atan2 lowering (probed on
+    v5e: NotImplementedError), so this is the Cephes atanf minimax
+    polynomial (|err| ~1e-7 rad) with branchless octant reduction.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    t = ay / jnp.maximum(ax, 1e-30)
+    big = t > 2.414213562373095  # tan(3pi/8)
+    mid = t > 0.4142135623730951  # tan(pi/8)
+    xr = jnp.where(big, -1.0 / jnp.maximum(t, 1e-30), jnp.where(mid, (t - 1.0) / (t + 1.0), t))
+    base = jnp.where(big, jnp.pi / 2, jnp.where(mid, jnp.pi / 4, 0.0))
+    z = xr * xr
+    p = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
+        - 3.33329491539e-1
+    ) * z * xr + xr
+    a = base + p  # atan(|y|/|x|) in [0, pi/2]
+    a = jnp.where(ax == 0.0, jnp.pi / 2, a)
+    a = jnp.where(x < 0.0, jnp.pi - a, a)
+    a = jnp.where(y < 0.0, -a, a)
+    return jnp.where((x == 0.0) & (y == 0.0), 0.0, a)
+
+
+def _pow7(c):
+    c2 = c * c
+    return c2 * c2 * c2 * c
+
+
 def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
     dL = L1 - L2
     da = a1 - a2
@@ -145,6 +174,75 @@ def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
         sc = 1.0 + 0.045 * c1
         sh = 1.0 + 0.015 * c1
         return jnp.sqrt(dL * dL + (dC / sc) ** 2 + (dH / sh) ** 2)
+    if kind == "CIEDE2000":
+        # Mirrors colorspace.delta_e2000 (Sharma et al., kL=kC=kH=1) on
+        # planar tiles; the reference declares but never implements this
+        # variant (OptimizedConvolution.cl:227-230). atan2 via the in-kernel
+        # polynomial above; x^7 as multiplies (no pow lowering).
+        pi = jnp.float32(jnp.pi)
+        C1 = jnp.sqrt(a1 * a1 + b1 * b1)
+        C2 = jnp.sqrt(a2 * a2 + b2 * b2)
+        c7 = _pow7(0.5 * (C1 + C2))
+        G = 0.5 * (1.0 - jnp.sqrt(c7 / (c7 + 25.0**7)))
+        ap1 = (1.0 + G) * a1
+        ap2 = (1.0 + G) * a2
+        Cp1 = jnp.sqrt(ap1 * ap1 + b1 * b1)
+        Cp2 = jnp.sqrt(ap2 * ap2 + b2 * b2)
+
+        hp1 = _atan2_tiles(b1, ap1)
+        hp1 = jnp.where(hp1 < 0, hp1 + 2 * pi, hp1)
+        hp2 = _atan2_tiles(b2, ap2)
+        hp2 = jnp.where(hp2 < 0, hp2 + 2 * pi, hp2)
+
+        dCp = Cp2 - Cp1
+        dhp_raw = hp2 - hp1
+        dhp = jnp.where(
+            jnp.abs(dhp_raw) <= pi,
+            dhp_raw,
+            jnp.where(dhp_raw > pi, dhp_raw - 2 * pi, dhp_raw + 2 * pi),
+        )
+        zero_c = Cp1 * Cp2 == 0.0
+        dhp = jnp.where(zero_c, 0.0, dhp)
+        dHp = 2.0 * jnp.sqrt(Cp1 * Cp2) * jnp.sin(0.5 * dhp)
+
+        Lbp = 0.5 * (L1 + L2)
+        Cbp = 0.5 * (Cp1 + Cp2)
+        hsum = hp1 + hp2
+        habs = jnp.abs(hp1 - hp2)
+        hbp = jnp.where(
+            zero_c,
+            hsum,
+            jnp.where(
+                habs <= pi,
+                0.5 * hsum,
+                jnp.where(
+                    hsum < 2 * pi, 0.5 * (hsum + 2 * pi), 0.5 * (hsum - 2 * pi)
+                ),
+            ),
+        )
+        T = (
+            1.0
+            - 0.17 * jnp.cos(hbp - pi / 6.0)
+            + 0.24 * jnp.cos(2.0 * hbp)
+            + 0.32 * jnp.cos(3.0 * hbp + pi / 30.0)
+            - 0.20 * jnp.cos(4.0 * hbp - 63.0 * pi / 180.0)
+        )
+        dtheta = (30.0 * pi / 180.0) * jnp.exp(
+            -(((hbp * 180.0 / pi - 275.0) / 25.0) ** 2)
+        )
+        cbp7 = _pow7(Cbp)
+        RC = 2.0 * jnp.sqrt(cbp7 / (cbp7 + 25.0**7))
+        lterm = (Lbp - 50.0) ** 2
+        SL = 1.0 + 0.015 * lterm / jnp.sqrt(20.0 + lterm)
+        SC = 1.0 + 0.045 * Cbp
+        SH = 1.0 + 0.015 * Cbp * T
+        RT = -jnp.sin(2.0 * dtheta) * RC
+        return jnp.sqrt(
+            (dL / SL) ** 2
+            + (dCp / SC) ** 2
+            + (dHp / SH) ** 2
+            + RT * (dCp / SC) * (dHp / SH)
+        )
     raise ValueError(f"fused kernel does not support deltaE {kind!r}")
 
 

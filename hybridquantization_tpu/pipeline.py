@@ -237,7 +237,9 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
             return sums / (H * W) + penalties(usage), usage
 
         if pad_ok:
-            # XLA block-space conv path (kept for CIEDE2000): two pure-VALID
+            # XLA block-space conv path (now reachable only when a deltaE
+            # kind is ever outside FUSED_DELTA_E — all three reference kinds
+            # run fused since round 2): two pure-VALID
             # convs on the guard-padded image — no conv-internal padding, no
             # edge corrections (1.6x the padded-conv variant, measured).
             q = opp.reshape(pop, 3, Hp, Wp)

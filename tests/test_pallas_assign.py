@@ -232,8 +232,9 @@ def test_pipeline_with_pallas_forced(rng):
 
 @pytest.mark.parametrize("de", ["CIE94", "CIEDE2000"])
 def test_fused_fitness_delta_e_variants(rng, de):
-    """CIE94 runs through the fused kernel; CIEDE2000 falls back to the XLA
-    conv path — both must match the unfused jnp fitness."""
+    """CIE94 and CIEDE2000 both run through the fused kernel (CIEDE2000 uses
+    the in-kernel atan2 polynomial) — both must match the unfused jnp
+    fitness, which uses colorspace.delta_e2000 with jnp.arctan2."""
     from hybridquantization_tpu import QuantizationConfig, SWASAConfig
     from hybridquantization_tpu.pipeline import (
         HybridQuantizer,
