@@ -59,6 +59,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "'first' = reference semantics; 'average' is faster)",
     )
     g.add_argument(
+        "--conv-precision", choices=["", "highest", "f32x3", "bf16"],
+        default="",
+        help="S-CIELAB filter matmul precision, separable from the "
+        "assignment --precision (default '': same). bf16 cuts the fused "
+        "fitness kernel 1.7x with 24-seed quality parity intact (the conv "
+        "feeds the continuous fitness, not the argmax)",
+    )
+    g.add_argument(
         "--fast", action="store_true",
         help="shorthand for --precision bf16 --tie-mode average (trades "
         "~1.2%% mean-deltaE for speed, measured; docs/PERFORMANCE.md)",
@@ -189,6 +197,7 @@ def _config_from_args(args) -> QuantizationConfig:
         assignment_space=getattr(args, "assignment_space", "srgb"),
         precision="bf16" if args.fast else args.precision,
         tie_mode="average" if args.fast else args.tie_mode,
+        conv_precision=getattr(args, "conv_precision", ""),
         init=getattr(args, "init", "random"),
         verbose=args.verbose,
         seed=getattr(args, "seed", 0),

@@ -62,6 +62,15 @@ class QuantizationConfig:
       the mean of the tied colors and marks all of them used, trading
       tie exactness (ties are measure-zero for continuous palettes) for
       roughly half the kernel's VPU work (ops/pallas_assign.py module doc).
+    conv_precision: matmul precision of the per-evaluation S-CIELAB filter
+      (the fused fitness kernel), separable from `precision` because the
+      conv feeds the CONTINUOUS fitness value, not the argmax: a bf16 conv
+      perturbs the mean Delta-E by ~1.6e-2 absolute but measured 24-seed
+      final quality is parity-clean (tools/parity_check.py --conv-precision
+      bf16), while it cuts the fused kernel's MAC-bound MXU time 3x
+      (10.2 -> 6.0 ms at 4K/pop4, docs/PERFORMANCE.md round 2). "" (default)
+      follows `precision`. The assignment scores stay at `precision` — THEY
+      are the parity-critical part (bf16 scores flip 0.7% of assignments).
     """
 
     swasa: SWASAConfig = SWASAConfig()
@@ -70,6 +79,7 @@ class QuantizationConfig:
     assignment_space: str = "srgb"
     precision: str = "f32x3"      # "highest" | "f32x3" | "bf16"
     tie_mode: str = "first"       # "first" | "average"
+    conv_precision: str = ""      # "" (= precision) | "highest" | "f32x3" | "bf16"
     init: str = "random"        # "random" (reference parity, SWASA.java:40-52)
                                 # | "kmeans" (histogram-weighted k-means
                                 # seeds, ops/kmeans.py — beyond-reference)
@@ -77,3 +87,10 @@ class QuantizationConfig:
     seed: int = 0
     progress_every: int = 10      # host progress cadence (ImageManipulation.java:546)
     use_pallas: str = "auto"      # "auto" (TPU only) | "on" | "off"
+    overlap_collectives: bool = True
+    # member-pipelined evaluation in the column-sharded engine: each
+    # population member's (error, usage) psum is issued before the next
+    # member's kernels, giving XLA's latency-hiding scheduler a window to
+    # fly the collective under compute — the TPU analog of the reference's
+    # cross-member OpenCL event overlap (ImageManipulation.java:620-727).
+    # Numerically identical to the batched evaluation (False).

@@ -395,8 +395,23 @@ def conv_v_valid(x: jnp.ndarray, mats) -> jnp.ndarray:
 
 def padded_plan(H: int, W: int, half: int):
     """(Hp, Wp, ok): padded dims and whether jnp.pad(symmetric) can build the
-    mirror (pad amounts must not exceed the image extent)."""
-    Hp, Wp = padded_size(H, half), padded_size(W, half)
+    mirror (pad amounts must not exceed the image extent).
+
+    W is padded to the coarsest feasible granularity of (4, 2, 1) blocks so
+    the fused fitness kernel can run 4-block-wide stripes: a stripe reads
+    its two neighbor blocks for the horizontal pass, so stripe width sw
+    costs (sw + 2)/sw reads of the opponent image per evaluation — 1.5x at
+    sw=4 vs 3x at sw=1 (the kernel is HBM-bound; docs/PERFORMANCE.md). A
+    4K frame pays one extra 128-column stripe (3968 -> 4096, +3% compute)
+    for the 2x read saving.
+    """
+    Hp = padded_size(H, half)
+    Wp = padded_size(W, half)
+    for gran in (4 * BLOCK, 2 * BLOCK, BLOCK):
+        Wg = -(-(W + half) // gran) * gran
+        if (Wg - W) <= W:
+            Wp = Wg
+            break
     return Hp, Wp, (Hp - H) <= H and (Wp - W) <= W
 
 

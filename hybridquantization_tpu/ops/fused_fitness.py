@@ -252,78 +252,137 @@ def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
 
 def _fused_kernel(
     hw, *refs,
-    n_rows, n_cols, whitepoint, deltaE, precision, edges,
+    n_rows, n_stripes, sw, whitepoint, deltaE, precision, edges,
 ):
     # hw: scalar-prefetched (2,) int32 [H_valid, W_valid] — dynamic so the
     # same compiled kernel serves every shard of a column-sharded image
     # (parallel.fast), where only the last shard masks columns.
-    if edges == "slabs":
-        (qL, qM, qR, ls, rs, tgt,
-         ah, bh, ch, avt, bvt, cvt, avtL, cvtR, acc, t7) = refs
-        ahL = chR = None
+    #
+    # sw: static sub-blocks per stripe. A stripe of sw 128-column blocks
+    # reads (sw + 2) blocks (its body + one neighbor on each side), so the
+    # HBM traffic of the q image is (sw + 2)/sw x per evaluation.
+    #
+    # Matmul structure (round-2 redesign; tools/inloop_bench.py bisect —
+    # the old per-term _mm structure cost 10.4 ms f32x3 vs 6.1 ms bf16 at
+    # 4K/pop4, i.e. the splits/adds, not HBM, dominated):
+    #   * the three conv terms (left + body + right) ride ONE contraction:
+    #     the data side is a CONTIGUOUS 3-block window of an extended
+    #     stripe `ext = [left | body | right]`, the matrix side is a
+    #     pre-stacked (3*BLOCK, BLOCK) input — zero concats per dot, two
+    #     fewer VPU adds per (filter, block)
+    #   * f32x3 splits happen ONCE per channel (ext) and once per t7 value
+    #     (hi/lo bf16 scratches), not once per _mm operand
+    #   * vertical windows are contiguous (3*BLOCK, swb) slices of the t7
+    #     scratch, whose top/bottom edge blocks are DUPLICATED so the
+    #     r=0 / r=n-1 clamping needs no special slicing (the R-folded edge
+    #     matrices handle the reflection exactly as before)
+    #   * edge-matrix selection indexes a stacked (4, 7, ...) variant
+    #     tensor: 0 interior, 1 left/top fold, 2 right/bottom fold, 3 both
+    if precision == "f32x3":
+        if edges == "slabs":
+            (qL, qM, qR, ls, rs, tgt, mh_h, mh_l, mv_h, mv_l,
+             acc, t7a, t7b) = refs
+        else:
+            (qL, qM, qR, tgt, mh_h, mh_l, mv_h, mv_l, acc, t7a, t7b) = refs
+            ls = rs = None
+        mh = mv = None
     else:
-        (qL, qM, qR, tgt,
-         ah, bh, ch, ahL, chR, avt, bvt, cvt, avtL, cvtR, acc, t7) = refs
-        ls = rs = None
+        if edges == "slabs":
+            (qL, qM, qR, ls, rs, tgt, mh, mv, acc, t7a) = refs
+        else:
+            (qL, qM, qR, tgt, mh, mv, acc, t7a) = refs
+            ls = rs = None
+        t7b = None
     H = hw[0]
     W = hw[1]
     s = pl.program_id(0)
     is_left = s == 0
-    is_right = s == n_cols - 1
+    is_right = s == n_stripes - 1
+    swb = sw * BLOCK
+    dot_prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=dot_prec, preferred_element_type=jnp.float32,
+        )
 
     # -- horizontal pass into the VMEM scratch -------------------------------
-    # Edge stripes: "mirror" swaps in the R-folded matrices (qL/qR index maps
-    # are clamped, so the edge stripe reads itself); "slabs" swaps in the
-    # neighbor-slab VALUES (one select per channel, slabs stay VMEM-resident
-    # across the grid since their index maps are constant).
-    if edges == "slabs":
-        xl = [
-            jnp.where(is_left, ls[0, c], qL[0, c]) for c in range(3)
-        ]
-        xr = [
-            jnp.where(is_right, rs[0, c], qR[0, c]) for c in range(3)
-        ]
-    for f in range(7):
-        c = SRC7[f]
+    # Edge neighbors: "mirror" keeps the clamped self-block VALUES and swaps
+    # in the R-folded matrix variant; "slabs" swaps in the neighbor-slab
+    # VALUES (slabs stay VMEM-resident across the grid, constant index maps)
+    # and keeps interior matrices for columns.
+    Hp = qM.shape[2]
+    for c in range(3):
         if edges == "slabs":
-            xL, xR = xl[c], xr[c]
-            mA, mC = ah[f], ch[f]
+            xL = jnp.where(is_left, ls[0, c], qL[0, c])
+            xR = jnp.where(is_right, rs[0, c], qR[0, c])
         else:
             xL, xR = qL[0, c], qR[0, c]
-            mA = jnp.where(is_left, ahL[f], ah[f])
-            mC = jnp.where(is_right, chR[f], ch[f])
-        t7[f] = (
-            _mm(xL, mA, precision)
-            + _mm(qM[0, c], bh[f], precision)
-            + _mm(xR, mC, precision)
-        )
+        ext = jnp.concatenate([xL, qM[0, c], xR], axis=1)  # (Hp, swb + 2B)
+        if precision == "f32x3":
+            exth = ext.astype(jnp.bfloat16)
+            extl = (ext - exth.astype(jnp.float32)).astype(jnp.bfloat16)
+        for f in range(7):
+            if SRC7[f] != c:
+                continue
+            for j in range(sw):
+                # matrix variant: left fold only at the global first block,
+                # right fold only at the global last ("mirror" mode only)
+                if edges == "slabs":
+                    vj = 0
+                else:
+                    vj = jnp.where(is_left & (j == 0), 1, 0) + jnp.where(
+                        is_right & (j == sw - 1), 2, 0
+                    )
+                lo = j * BLOCK
+                if precision == "f32x3":
+                    xwh = exth[:, lo:lo + 3 * BLOCK]
+                    xwl = extl[:, lo:lo + 3 * BLOCK]
+                    y = (
+                        _dot(xwh, mh_h[vj, f])
+                        + _dot(xwl, mh_h[vj, f])
+                        + _dot(xwh, mh_l[vj, f])
+                    )
+                    yh = y.astype(jnp.bfloat16)
+                    yl = (y - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    t7a[f, BLOCK:BLOCK + Hp, lo:lo + BLOCK] = yh
+                    t7b[f, BLOCK:BLOCK + Hp, lo:lo + BLOCK] = yl
+                else:
+                    y = _dot(ext[:, lo:lo + 3 * BLOCK], mh[vj, f])
+                    t7a[f, BLOCK:BLOCK + Hp, lo:lo + BLOCK] = y
+    # duplicate the top/bottom row blocks so every vertical window is one
+    # contiguous (3*BLOCK, swb) slice (the clamp at r=0 / r=n-1 is baked in)
+    for t in ([t7a] if t7b is None else [t7a, t7b]):
+        t[:, 0:BLOCK, :] = t[:, BLOCK:2 * BLOCK, :]
+        t[:, BLOCK + Hp:, :] = t[:, Hp:BLOCK + Hp, :]
 
     @pl.when(s == 0)
     def _():
         acc[0, :, :] = jnp.zeros_like(acc[0])
 
-    col_ids = s * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    col_ids = s * swb + jax.lax.broadcasted_iota(jnp.int32, (1, swb), 1)
     col_ok = col_ids < W
 
     # -- vertical pass + LAB + Delta-E + masked accumulation -----------------
     def body(r, carry):
         row0 = r * BLOCK
-        prev0 = jnp.maximum(r - 1, 0) * BLOCK
-        next0 = jnp.minimum(r + 1, n_rows - 1) * BLOCK
-        is_top = r == 0
-        is_bot = r == n_rows - 1
+        vr = jnp.where(r == 0, 1, 0) + jnp.where(r == n_rows - 1, 2, 0)
         y = []
         for f in range(7):
-            w0 = t7[f, pl.ds(prev0, BLOCK), :]
-            w1 = t7[f, pl.ds(row0, BLOCK), :]
-            w2 = t7[f, pl.ds(next0, BLOCK), :]
-            mA = jnp.where(is_top, avtL[f], avt[f])
-            mC = jnp.where(is_bot, cvtR[f], cvt[f])
-            y.append(
-                _mm(mA, w0, precision)
-                + _mm(bvt[f], w1, precision)
-                + _mm(mC, w2, precision)
-            )
+            if precision == "f32x3":
+                wh = t7a[f, pl.ds(row0, 3 * BLOCK), :]
+                wl = t7b[f, pl.ds(row0, 3 * BLOCK), :]
+                y.append(
+                    _dot(mv_h[vr, f], wh)
+                    + _dot(mv_h[vr, f], wl)
+                    + _dot(mv_l[vr, f], wh)
+                )
+            else:
+                y.append(_dot(mv[vr, f], t7a[f, pl.ds(row0, 3 * BLOCK), :]))
         o0 = y[0] + y[3] + y[6]
         o1 = y[1] + y[4]
         o2 = y[2] + y[5]
@@ -337,8 +396,12 @@ def _fused_kernel(
         de = _delta_e_tiles(L2, a2, b2, L1, a1, b1, deltaE)
 
         row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)
-        mask = (row_ids < H) & col_ok
-        acc[0, :, :] = acc[0] + jnp.where(mask, de, 0.0)
+        masked = jnp.where((row_ids < H) & col_ok, de, 0.0)
+        # fold the sw sub-blocks into the (BLOCK, BLOCK) accumulator
+        total = masked[:, 0:BLOCK]
+        for j in range(1, sw):
+            total = total + masked[:, j * BLOCK:(j + 1) * BLOCK]
+        acc[0, :, :] = acc[0] + total
         return carry
 
     jax.lax.fori_loop(0, n_rows, body, 0)
@@ -387,7 +450,11 @@ def fused_scielab_err_sums(
         hw = jnp.asarray([H, W], jnp.int32)
     hw = hw.astype(jnp.int32)
     assert target.shape == (3, Hp, Wp), (target.shape, Hp, Wp)
-    n_cols = Wp // BLOCK
+    n_blocks = Wp // BLOCK
+    # widest stripe that tiles the padded width (padded_plan prefers
+    # 4-block-divisible Wp so 4K frames get sw=4: 1.5x q reads vs 3x)
+    sw = 4 if n_blocks % 4 == 0 else (2 if n_blocks % 2 == 0 else 1)
+    n_stripes = n_blocks // sw
     n_rows = Hp // BLOCK
     ah, bh, ch = (m.astype(jnp.float32) for m in mats_h[:3])
     # vertical matrices pre-transposed: y = M^T x as a plain (k,b)@(b,w)
@@ -404,19 +471,56 @@ def fused_scielab_err_sums(
     avtL = avt[:, :, ::-1]
     cvtR = cvt[:, :, ::-1]
 
+    # Stacked matrix variants (kernel doc): the three conv terms ride one
+    # contraction; index 0 interior, 1 left/top fold, 2 right/bottom fold,
+    # 3 both (n_stripes == 1 / n_rows == 1).
+    def _hstack(A, C):
+        return jnp.concatenate([A, bh, C], axis=1)  # (7, 3B, B)
+
+    def _vstack(A, C):
+        return jnp.concatenate([A, bvt, C], axis=2)  # (7, B, 3B)
+
+    mh4 = jnp.stack([
+        _hstack(ah, ch), _hstack(ahL, ch), _hstack(ah, chR), _hstack(ahL, chR)
+    ])
+    mv4 = jnp.stack([
+        _vstack(avt, cvt), _vstack(avtL, cvt),
+        _vstack(avt, cvtR), _vstack(avtL, cvtR),
+    ])
+    # variant 3 (both edges folded) is reachable only with a single stripe /
+    # single row block — drop it otherwise (every VMEM MB counts at sw=4)
+    if n_rows > 1:
+        mv4 = mv4[:3]
+    if edges == "slabs":
+        mh4 = mh4[:1]  # columns never matrix-fold under slab exchange
+    elif n_stripes > 1:
+        mh4 = mh4[:3]
+    if precision == "f32x3":
+        mh_h = mh4.astype(jnp.bfloat16)
+        mh_l = (mh4 - mh_h.astype(jnp.float32)).astype(jnp.bfloat16)
+        mv_h = mv4.astype(jnp.bfloat16)
+        mv_l = (mv4 - mv_h.astype(jnp.float32)).astype(jnp.bfloat16)
+        mat_stacks = [mh_h, mh_l, mv_h, mv_l]
+    else:
+        mat_stacks = [mh4, mv4]
+
     kernel = functools.partial(
         _fused_kernel,
-        n_rows=n_rows, n_cols=n_cols, whitepoint=whitepoint,
+        n_rows=n_rows, n_stripes=n_stripes, sw=sw, whitepoint=whitepoint,
         deltaE=deltaE, precision=precision, edges=edges,
     )
-    mat_spec = pl.BlockSpec((7, BLOCK, BLOCK), lambda s, p, hw: (0, 0, 0))
-    q_spec = lambda ix: pl.BlockSpec(  # noqa: E731
+    # qL/qR are single-BLOCK neighbor columns (index maps in BLOCK units);
+    # qM is the sw-block stripe body (index map in stripe units).
+    qn_spec = lambda ix: pl.BlockSpec(  # noqa: E731
         (1, 3, Hp, BLOCK), lambda s, p, hw, _ix=ix: (p, 0, 0, _ix(s))
     )
+    qm_spec = pl.BlockSpec(
+        (1, 3, Hp, sw * BLOCK), lambda s, p, hw: (p, 0, 0, s)
+    )
     in_specs = [
-        q_spec(lambda s: jnp.maximum(s - 1, 0)),
-        q_spec(lambda s: s),
-        q_spec(lambda s: jnp.minimum(s + 1, n_cols - 1)),
+        qn_spec(lambda s: jnp.maximum(sw * s - 1, 0)),
+        qm_spec,
+        qn_spec(lambda s: jnp.minimum(sw * (s + 1), n_blocks - 1)),
     ]
     args = [q, q, q]
     if edges == "slabs":
@@ -426,28 +530,35 @@ def fused_scielab_err_sums(
         )
         in_specs += [slab_spec, slab_spec]
         args += [left_slab, right_slab]
-    in_specs += [pl.BlockSpec((3, Hp, BLOCK), lambda s, p, hw: (0, 0, s))]
+    in_specs += [
+        pl.BlockSpec((3, Hp, sw * BLOCK), lambda s, p, hw: (0, 0, s))
+    ]
     args += [target]
-    mats = [ah, bh, ch] if edges == "slabs" else [ah, bh, ch, ahL, chR]
-    mats += [avt, bvt, cvt, avtL, cvtR]
-    in_specs += [mat_spec] * len(mats)
-    args += mats
+    for m in mat_stacks:
+        in_specs.append(
+            pl.BlockSpec(m.shape, lambda s, p, hw: (0,) * m.ndim)
+        )
+    args += mat_stacks
 
+    t7_dtype = jnp.bfloat16 if precision == "f32x3" else jnp.float32
+    n_scratch = 2 if precision == "f32x3" else 1
     acc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_cols, pop),
+            grid=(n_stripes, pop),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, BLOCK, BLOCK), lambda s, p, hw: (p, 0, 0)),
-            scratch_shapes=[pltpu.VMEM((7, Hp, BLOCK), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((7, Hp + 2 * BLOCK, sw * BLOCK), t7_dtype)
+            ] * n_scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((pop, BLOCK, BLOCK), jnp.float32),
-        # 3 double-buffered (3, Hp, 128) column blocks + the (7, Hp, 128)
-        # scratch exceed Mosaic's default 16 MB scoped-vmem budget; the chip
-        # has 128 MB.
+        # double-buffered (3, Hp, sw*128) stripes + the (7, Hp+256, sw*128)
+        # scratches exceed Mosaic's default 16 MB scoped-vmem budget; the
+        # chip has 128 MB.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(hw, *args)

@@ -68,7 +68,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-DEFAULT_BLOCK = 4096
+DEFAULT_BLOCK = 8192
 
 _NEG = -1e30  # effectively -inf for padded palette entries
 
@@ -160,7 +160,7 @@ def _scores(c, x, xsplit, precision: str) -> jnp.ndarray:
 
 
 def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
-    """Exact first-index one-hot of the per-column maximum.
+    """Exact first-index one-hot (f32) of the per-column maximum.
 
     Mosaic's jnp.argmax does not break exact-score ties toward the first
     index on hardware (measured: 62/34.5M tie pixels diverged at 4K/K256);
@@ -180,9 +180,19 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
     # every non-hit row and the winner gather would sum the whole palette.
     idx = jnp.where(valid[0] & (idx < kp), idx, -1)
     onehot = t == idx[None, :]
-    # bf16 one-hot: 0/1 are exact in bf16 and the downstream dots run at
-    # DEFAULT without any f32->bf16 operand-split passes over (K_pad, BP).
-    return jnp.where(onehot, 1.0, 0.0).astype(jnp.bfloat16)
+    return jnp.where(onehot, 1.0, 0.0)
+
+
+def _lane_fold(v: jnp.ndarray) -> jnp.ndarray:
+    """(kp, bp) -> (kp, LANE) exact halving-tree sum over the lane axis.
+
+    ~1 VPU pass total (bp + bp/2 + ... elements). Requires bp = LANE * 2^m
+    (asserted in the wrapper)."""
+    w = v.shape[1]
+    while w > LANE:
+        w //= 2
+        v = v[:, :w] + v[:, w:2 * w]
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -190,10 +200,10 @@ def _first_max_onehot(scores: jnp.ndarray, valid: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _hit_mask(scores: jnp.ndarray, valid: jnp.ndarray):
-    """(K_pad, BP) bf16 mask of every per-column maximum (2 VPU passes)."""
+    """(K_pad, BP) f32 mask of every per-column maximum (2 VPU passes)."""
     m = jnp.max(scores, axis=0)
     hit = (scores == m[None, :]) & valid
-    return jnp.where(hit, 1.0, 0.0).astype(jnp.bfloat16)
+    return jnp.where(hit, 1.0, 0.0)
 
 
 def _assign_opp_pop_kernel(
@@ -216,16 +226,19 @@ def _assign_opp_pop_kernel(
     x = x_ref[:, :]
     xsplit = _split_bf16(x) if precision == "f32x3" else None
     valid = (i * bp + jax.lax.broadcasted_iota(jnp.int32, (1, bp), 1)) < n_ref[0]
-    ones_bf = jnp.ones((1, bp), jnp.bfloat16)
 
+    us = []
     for p in range(pop):
         scores = _scores(c_ref[p], x, xsplit, precision)
         if tie_mode == "average":
             # 2-pass hit mask; O4's ones row turns the winner-gather matmul
             # into (summed color, hit count) so ties average on the MXU.
-            onehot_bf = _hit_mask(scores, valid)
+            onehot_f = _hit_mask(scores, valid)
         else:
-            onehot_bf = _first_max_onehot(scores, valid)
+            onehot_f = _first_max_onehot(scores, valid)
+        # bf16 one-hot: 0/1 are exact in bf16 and the downstream dots run at
+        # DEFAULT without any f32->bf16 operand-split passes over (K_pad, BP).
+        onehot_bf = onehot_f.astype(jnp.bfloat16)
 
         # Winner gather as an MXU one-hot contraction. The one-hot is exact
         # in bf16, and the exact 3-way bf16 split of O4 (tiny, (4, K))
@@ -249,22 +262,24 @@ def _assign_opp_pop_kernel(
         else:
             opp_ref[p, :, :] = opp[0:3, :]
 
-        # (1, K_pad) orientation: Mosaic verifies the bf16->f32 dot only
-        # with the singleton dim on the LHS (lanes = K on the output).
-        counts = jax.lax.dot_general(
-            ones_bf, onehot_bf,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,  # 0/1 x 1.0 exact in bf16
-            preferred_element_type=jnp.float32,
-        )  # (1, K_pad)
+        # Usage/counts: a lane-folded f32 sum of the one-hot into a
+        # (K_pad, LANE) accumulator — exact (0/1 sums < 2^24) at ~1 VPU
+        # pass. The previous formulation, a skinny (1, K_pad) MXU counts
+        # dot with BP-deep contraction, measured 6.6 ms of the 28 ms
+        # kernel at 4K/K256/pop4 (tools/kexp_assign.py bisect); the final
+        # (K_pad, LANE) -> (K_pad,) reduction happens outside the kernel.
+        us.append(_lane_fold(onehot_f))
 
-        @pl.when(i == 0)
-        def _():
-            usage_ref[p, :, :] = counts
+    # one predicated region per grid step (not one per member)
+    @pl.when(i == 0)
+    def _():
+        for p in range(pop):
+            usage_ref[p, :, :] = us[p]
 
-        @pl.when(i > 0)
-        def _():
-            usage_ref[p, :, :] = usage_ref[p, :, :] + counts
+    @pl.when(i > 0)
+    def _():
+        for p in range(pop):
+            usage_ref[p, :, :] = usage_ref[p, :, :] + us[p]
 
 
 def _assign_idx_kernel(n_ref, x_ref, c_ref, idx_ref, *, precision: str):
@@ -298,10 +313,14 @@ def assign_opp_pop(
     tie_mode: str = "first",
 ):
     """Population assignment: c4/o4 (pop, 4, K_pad) -> (opp (pop, 3, P_pad),
-    usage (pop, 1, K_pad)). num_pixels: () int32 true pixel count."""
+    usage accumulator (pop, K_pad, LANE) — reduce over the last axis for
+    exact per-palette counts). num_pixels: () int32 true pixel count."""
     pop = c4.shape[0]
     pp = x4.shape[1]
     kp = c4.shape[2]
+    assert block % LANE == 0 and (block // LANE) & (block // LANE - 1) == 0, (
+        f"block {block} must be LANE * 2^m for the usage lane fold"
+    )
     grid = (pp // block,)
     n = jnp.reshape(num_pixels.astype(jnp.int32), (1,))
 
@@ -319,13 +338,19 @@ def assign_opp_pop(
             ],
             out_specs=[
                 pl.BlockSpec((pop, 3, block), lambda i, n: (0, 0, i)),
-                pl.BlockSpec((pop, 1, kp), lambda i, n: (0, 0, 0)),
+                pl.BlockSpec((pop, kp, LANE), lambda i, n: (0, 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((pop, 3, pp), jnp.float32),
-            jax.ShapeDtypeStruct((pop, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((pop, kp, LANE), jnp.float32),
         ],
+        # the 8192 block's live set (scores + one-hot f32/bf16 + x split)
+        # exceeds Mosaic's default 16 MB scoped-vmem budget; the chip has
+        # 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(n, x4, c4, o4)
     return opp, usage
@@ -439,7 +464,7 @@ def assign_opp_usage_pop(
         x4, c4, o4, jnp.int32(P), block=block, interpret=interpret,
         precision=precision, tie_mode=tie_mode,
     )
-    return opp[:, :, :P], usage[:, 0, :K] > 0.0
+    return opp[:, :, :P], jnp.sum(usage, axis=2)[:, :K] > 0.0
 
 
 def nearest_palette_pallas(

@@ -190,6 +190,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
     interpret = jax.default_backend() != "tpu"
     SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent-channel source
     use_fused = pad_ok and cfg.deltaE in ff.FUSED_DELTA_E
+    conv_prec = cfg.conv_precision or cfg.precision
 
     def pop_fitness(palettes: jax.Array):
         pop = palettes.shape[0]
@@ -231,7 +232,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
                 tuple(cs.WHITEPOINTS[cfg.scielab.whitepoint].tolist()),
                 H=H, W=W,
                 deltaE=cfg.deltaE,
-                precision=cfg.precision,
+                precision=conv_prec,
                 interpret=interpret,
             )
             return sums / (H * W) + penalties(usage), usage

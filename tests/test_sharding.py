@@ -298,6 +298,59 @@ def test_fast_fitness_matches_single_chip(rng):
     np.testing.assert_array_equal(np.asarray(got_use), np.asarray(want_use))
 
 
+def test_overlap_collectives_identical(rng):
+    """Member-pipelined evaluation (per-member fused psum, issued before the
+    next member's kernels — the overlap window for XLA's latency-hiding
+    scheduler, the TPU analog of ImageManipulation.java:620-727) must be
+    numerically IDENTICAL to the batched evaluation."""
+    import dataclasses
+
+    from hybridquantization_tpu.parallel import fast as fast_mod
+
+    mesh = make_mesh(1, 2)
+    filters = build_filters(72, 45.0)
+    img = rng.random((140, 160, 3), dtype=np.float32)
+    pals = jnp.asarray(rng.random((3, 5, 3), dtype=np.float32))
+    base = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=5, population=3),
+        use_pallas="on", precision="f32x3",
+    )
+    Hp, Wt, Ws, ok = fast_mod.plan_fast(140, 160, filters.half_width, 2)
+    assert ok
+    mats_h, mats_v = sct.band_matrices(filters)
+    wp = jnp.asarray([0.95047, 1.0, 1.0883])
+
+    from hybridquantization_tpu.parallel import build_sharded_fast_fns
+
+    res = {}
+    for overlap in (True, False):
+        cfg = dataclasses.replace(base, overlap_collectives=overlap)
+        prepare, *_ = build_sharded_fast_fns(mesh, cfg, filters, interpret=True)
+        ctx = prepare(jnp.asarray(img)[None])
+
+        def body(x4_local, tgt_local, _cfg=cfg):
+            fitness = fast_mod.make_fast_fitness(
+                x4_local[0], tgt_local[0], _cfg, mats_h, mats_v, wp,
+                H=140, W=160, Hp=Hp, Ws=Ws, n_pixel=2, interpret=True,
+            )
+            return fitness(pals)
+
+        res[overlap] = jax.device_get(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(
+                    P(DATA_AXIS, None, PIXEL_AXIS),
+                    P(DATA_AXIS, None, None, PIXEL_AXIS),
+                ),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(ctx["x4"], ctx["targets"])
+        )
+
+    np.testing.assert_array_equal(res[True][0], res[False][0])
+    np.testing.assert_array_equal(res[True][1], res[False][1])
+
+
 def test_fast_batch_end_to_end(rng):
     """ShardedBatchQuantizer(strategy='columns') end-to-end on 2 shards."""
     mesh = make_mesh(1, 2)

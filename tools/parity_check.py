@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--precision", default="f32x3", choices=["highest", "f32x3", "bf16"])
     ap.add_argument("--tie-mode", default="first", choices=["first", "average"])
     ap.add_argument(
+        "--conv-precision", default="", choices=["", "highest", "f32x3", "bf16"],
+        help="S-CIELAB filter precision, separable from assignment scores",
+    )
+    ap.add_argument(
         "--fast", action="store_true",
         help="validate the fast mode: --precision bf16 --tie-mode average",
     )
@@ -103,8 +107,12 @@ def main() -> int:
         ),
         precision=args.precision,
         tie_mode=args.tie_mode,
+        conv_precision=args.conv_precision,
     )
-    print(f"engine precision={args.precision} tie_mode={args.tie_mode}")
+    print(
+        f"engine precision={args.precision} tie_mode={args.tie_mode} "
+        f"conv_precision={args.conv_precision or args.precision}"
+    )
     engine = HybridQuantizer(cfg)
     ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
     target = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
