@@ -1,19 +1,24 @@
 """Benchmark harness — prints ONE JSON line with the primary metric.
 
-Primary metric (BASELINE.json): Mpix/s/chip palette assignment at K=256,
-measured on a 4K (3840x2160) image on one chip.
+Primary metric: END-TO-END seconds to quantize a 4K (3840x2160) image to
+K=256 on one chip at reference-or-better quality, against the BASELINE
+north star "<= 10 s" (the reference itself publishes no numbers;
+BASELINE.json "published": {}). vs_baseline = 10 s / measured e2e seconds
+of the SAME quantity, so the two fields normalize consistently (round-1
+advisor finding). The quantized image's mean S-CIELAB Delta-E is measured
+in the same run and reported next to it — the speed claim is only valid
+with the quality number beside it.
 
-vs_baseline normalization: the reference publishes no numbers
-(BASELINE.json "published": {}), so the baseline is the north-star target
-itself — "<= 10 s to quantize a 4K image to K=256" — against the measured
-end-to-end wall time of the quality-matched schedule (k-means seeding +
-100 SWASA iterations + 10 Lloyd polish steps, which reaches BETTER mean
-deltaE than the reference's own random-init imax=5000 schedule; measured
-3.04 vs 5.66, docs/PERFORMANCE.md). vs_baseline = 10 s / measured e2e
-seconds; >= 1.0 means the north-star target is met on one chip at
-reference-or-better quality.
+Quality-matched schedule: k-means seeding + 50 SWASA iterations + 10
+histogram-Lloyd polish steps. At K=256 the reference's random-init
+imax=5000 anneal reaches mean deltaE 5.66 on this image class; the seeded
+schedule reaches ~3.0 (docs/PERFORMANCE.md quality-vs-schedule table; the
+per-run number is in extra.e2e_mean_delta_e). Precision: f32x3 assignment
+scores + bf16 S-CIELAB filter — the config measured at 24-seed quality
+parity (gap 0.87%, tools/parity_check.py --conv-precision bf16).
 
-Extra context metrics ride inside the JSON object under "extra".
+Context metrics (assignment Mpix/s, fitness eval, SWASA iters/s) ride in
+"extra".
 
 Measurement hygiene (docs/PERFORMANCE.md): every repetition uses fresh
 inputs and synchronizes via device_get — through the axon relay,
@@ -29,6 +34,7 @@ import time
 import numpy as np
 
 NORTH_STAR_E2E_SECONDS = 10.0  # <= 10 s to quantize 4K to K=256
+E2E_ANNEAL_ITERS = 50
 
 
 def _bench(fn, make_input, scalarize, iters=5):
@@ -72,14 +78,15 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
 
     cfg = QuantizationConfig(
-        swasa=SWASAConfig(num_colors=K, population=POP, imax=100)
+        swasa=SWASAConfig(num_colors=K, population=POP, imax=100),
+        conv_precision="bf16",  # 24-seed parity PASS (module doc)
     )
     engine = HybridQuantizer(cfg)
     half = engine.filters.half_width
     ctx = _make_context(image, engine.filters, cfg)
     jax.device_get(ctx["target_lab"][0, 0])
 
-    # -- primary: fused nearest-palette assignment @ K=256 (per-member) ------
+    # -- context: fused nearest-palette assignment @ K=256 (per-member) ------
     if on_tpu:
         @jax.jit
         def assign_fn(args):
@@ -132,71 +139,77 @@ def main() -> None:
     ts.sort()
     iters_per_s = 10.0 / ts[len(ts) // 2]
 
-    # -- context: quality-matched end-to-end schedule ------------------------
-    # kmeans seeding + 100 SWASA iters + 10 Lloyd polish steps reaches BETTER
-    # mean Delta-E at 4K/K256 than the reference's full random/imax=5000
-    # schedule (3.03 vs 5.66 measured; docs/PERFORMANCE.md) — time THAT
-    # schedule end-to-end (palette search + polish), reusing the compiled
-    # chunk program (same cfg; the seeds enter via init_colors).
+    # -- PRIMARY: quality-matched end-to-end schedule -------------------------
+    # kmeans seeding + E2E_ANNEAL_ITERS SWASA iters + 10 histogram-Lloyd
+    # polish steps reaches BETTER mean Delta-E at 4K/K256 than the
+    # reference's full random/imax=5000 schedule (~3.0 vs 5.66 measured;
+    # docs/PERFORMANCE.md) — time THAT end-to-end, then MEASURE the quality
+    # of the result in the same run.
     from hybridquantization_tpu.ops.kmeans import kmeans_init_palettes
     from hybridquantization_tpu.ops.assign import polish_palette
 
     def e2e_quality_schedule(img, key):
         # EVERYTHING a fresh image needs, timed: context build (target
-        # S-CIELAB + pixel packing), k-means seeding, 100 anneal iterations,
-        # Lloyd polish. The context is built from THIS image — a stale
-        # shared ctx would anneal against the wrong target.
+        # S-CIELAB + pixel packing), k-means seeding, the anneal, Lloyd
+        # polish. The context is built from THIS image — a stale shared
+        # ctx would anneal against the wrong target.
         ctx_i = _make_context(img, engine.filters, cfg)
         pixels = img.reshape(-1, 3)
         seeds = kmeans_init_palettes(key, pixels, K, POP)
         st = _init_jit(key, ctx_i, cfg, half, seeds)
-        for _ in range(10):
+        for _ in range(E2E_ANNEAL_ITERS // 10):
             st, _ = _chunk_jit(st, ctx_i, cfg, 10, half)
         pal = polish_palette(pixels, st.best_colors, "srgb", None, 10)
         return jax.device_get(pal), float(jax.device_get(st.best_error))
 
-    t_e2e, fit100 = float("nan"), float("nan")
+    t_e2e, fit_anneal, e2e_de = float("nan"), float("nan"), float("nan")
     if on_tpu:
         img2 = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
         e2e_quality_schedule(image, jax.random.PRNGKey(1))  # compile warmup
         jax.block_until_ready(img2)
         t0 = time.perf_counter()
-        _, fit100 = e2e_quality_schedule(img2, jax.random.PRNGKey(2))
+        pal2, fit_anneal = e2e_quality_schedule(img2, jax.random.PRNGKey(2))
         t_e2e = time.perf_counter() - t0
+        # quality of the timed run's output (untimed; the claim's evidence)
+        out2 = engine.quantize(img2, jnp.asarray(pal2))
+        e2e_de = float(jax.device_get(engine.error_image(img2, out2)[0]))
 
-    value = round(assign_mpix_s, 1)
     print(
         json.dumps(
             {
-                "metric": "palette_assignment_mpix_per_s_per_chip_k256_4k",
-                "value": value,
-                "unit": "Mpix/s",
+                "metric": "e2e_seconds_quality_matched_4k_k256_1chip",
+                "value": round(t_e2e, 3) if on_tpu else None,
+                "unit": "s",
                 "vs_baseline": round(NORTH_STAR_E2E_SECONDS / t_e2e, 4)
                 if on_tpu
                 else 0.0,
                 "extra": {
-                    "pop4_fitness_eval_seconds_4k_k256": round(t_fitness, 4),
-                    "fitness_mpix_per_s_per_member": round(
-                        POP * npix / t_fitness / 1e6, 1
-                    ),
-                    "swasa_iters_per_s_pop4_4k_k256": round(iters_per_s, 3),
-                    "est_seconds_imax5000_pop4_4k": round(5000 / iters_per_s, 1),
-                    "e2e_seconds_quality_matched_4k_k256": round(t_e2e, 2) if on_tpu else None,
+                    "e2e_mean_delta_e": round(e2e_de, 3) if on_tpu else None,
+                    "reference_schedule_delta_e_same_image_class": 5.66,
                     "e2e_schedule": (
-                        "kmeans seed + 100 SWASA iters + 10 Lloyd steps; "
-                        "beats the reference random/imax=5000 schedule's "
-                        "mean deltaE at 4K/K256 (3.04 vs 5.66 measured)"
+                        f"kmeans seed + {E2E_ANNEAL_ITERS} SWASA iters + 10 "
+                        "histogram-Lloyd steps; f32x3 scores + bf16 conv "
+                        "(24-seed parity PASS, gap 0.87%)"
                     ),
-                    "e2e_fitness_after_100_iters": round(fit100, 4) if on_tpu else None,
+                    "e2e_fitness_after_anneal": round(fit_anneal, 4)
+                    if on_tpu
+                    else None,
+                    "assignment_mpix_per_s_per_chip_k256": round(
+                        assign_mpix_s, 1
+                    ),
+                    "pop4_fitness_eval_seconds_4k_k256": round(t_fitness, 4),
+                    "swasa_iters_per_s_pop4_4k_k256": round(iters_per_s, 3),
+                    "est_seconds_imax5000_pop4_4k": round(
+                        5000 / iters_per_s, 1
+                    ),
                     "final_best_error_40iters": float(
                         jax.device_get(state.best_error)
                     ),
                     "device": str(jax.devices()[0]),
                     "baseline_derivation": (
-                        "vs_baseline = 10 s north-star target / measured "
-                        "e2e seconds of the quality-matched schedule "
-                        "(kmeans + 100 iters + polish, deltaE 3.04 vs the "
-                        "reference schedule's 5.66)"
+                        "vs_baseline = 10 s north-star target / value (same "
+                        "quantity); quality evidence in e2e_mean_delta_e vs "
+                        "the reference schedule's 5.66"
                     ),
                 },
             }

@@ -17,10 +17,33 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# HQ_TPU_TESTS=1 runs on the real chip instead (the @pytest.mark.tpu
+# hardware tier: `HQ_TPU_TESTS=1 pytest -m tpu`); everything else forces
+# the 8-virtual-device CPU backend.
+if os.environ.get("HQ_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: hardware-tier test; runs only on a real TPU "
+        "(HQ_TPU_TESTS=1 pytest -m tpu), auto-skipped on CPU",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() == "tpu":
+        return
+    skip = pytest.mark.skip(
+        reason="TPU hardware tier (HQ_TPU_TESTS=1 pytest -m tpu on a chip)"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -1,0 +1,159 @@
+"""TPU hardware test tier (round-1 VERDICT item 5).
+
+These run the REAL Mosaic-compiled kernels — CI's interpret mode has
+measurably diverged from hardware before (argmax tie-break,
+ops/pallas_assign.py module doc), so every hardware-sensitive contract
+gets one on-chip check per round:
+
+    HQ_TPU_TESTS=1 python -m pytest -m tpu -q
+
+All tests are skipped automatically on the CPU backend (conftest).
+Column-guard ppermute over real ICI needs >= 2 physical chips; with one
+chip the fast sharded path still runs under shard_map on a 1x1 mesh
+(mirror guards, real kernels) — the cross-chip exchange itself is covered
+by the 8-virtual-device CPU tier (test_sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridquantization_tpu import (
+    HybridQuantizer,
+    QuantizationConfig,
+    SWASAConfig,
+)
+from hybridquantization_tpu.ops import pallas_assign as pa
+
+pytestmark = pytest.mark.tpu
+
+
+def test_first_index_ties_on_hardware(rng):
+    """Exact-score ties must resolve to the FIRST palette index on the real
+    chip (OptimizedConvolution.cl:158-167 semantics). Mosaic's own argmax
+    does not guarantee this (measured: 62/34.5M pixels at 4K/K256) — the
+    kernel's explicit min-over-hit-indices chain must."""
+    feats = rng.random((1024, 3)).astype(np.float32)
+    # palette with duplicated entries: indices 2 and 5 identical, 0 and 7
+    pal = rng.random((8, 3)).astype(np.float32)
+    pal[5] = pal[2]
+    pal[7] = pal[0]
+    # pixels exactly equal to palette colors tie against the duplicates
+    feats[:16] = pal[5]
+    feats[16:32] = pal[7]
+    opp, usage = pa.assign_opp_usage(
+        jnp.asarray(feats), jnp.asarray(pal), jnp.asarray(pal),
+        precision="highest",
+    )
+    opp = np.asarray(opp)
+    # winners for the tied pixels must be the FIRST duplicate (2 and 0)
+    np.testing.assert_allclose(opp[:, :16], pal[2][:, None], atol=0)
+    np.testing.assert_allclose(opp[:, 16:32], pal[0][:, None], atol=0)
+    usage = np.asarray(usage)
+    assert usage[2] and usage[0]
+    assert not usage[5] and not usage[7]
+
+
+def test_f32x3_scores_error_bound(rng):
+    """f32x3 hi/lo-split scores vs true-f32 (highest) on hardware: winner
+    colors may differ only where the two best scores are within the
+    documented ~1e-7 split error — measured here as a flip-rate bound."""
+    P, K = 1 << 16, 256
+    feats = rng.random((P, 3)).astype(np.float32)
+    pal = rng.random((K, 3)).astype(np.float32)
+    opp_hi, _ = pa.assign_opp_usage(
+        jnp.asarray(feats), jnp.asarray(pal), jnp.asarray(pal),
+        precision="highest",
+    )
+    opp_f3, _ = pa.assign_opp_usage(
+        jnp.asarray(feats), jnp.asarray(pal), jnp.asarray(pal),
+        precision="f32x3",
+    )
+    flips = int((np.asarray(opp_hi) != np.asarray(opp_f3)).any(axis=0).sum())
+    # random continuous data: score gaps < 1e-7 are vanishingly rare
+    assert flips <= P * 1e-4, f"{flips}/{P} pixels flipped (f32x3 vs highest)"
+
+
+@pytest.mark.parametrize("de", ["CIE76", "CIE94", "CIEDE2000"])
+def test_fused_kernel_matches_xla_path_on_hardware(rng, de):
+    """Mosaic-compiled fused fitness == the jnp/XLA fitness at a padded
+    (4K-class layout) shape, per deltaE kind, on the real chip."""
+    from hybridquantization_tpu.pipeline import (
+        _make_context,
+        make_population_fitness,
+    )
+
+    img = rng.random((300, 520, 3)).astype(np.float32)  # pad_ok dims
+    pals = jnp.asarray(rng.random((2, 16, 3)).astype(np.float32))
+    res = {}
+    for mode in ["on", "off"]:
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=16, population=2),
+            use_pallas=mode, deltaE=de, precision="highest",
+        )
+        q = HybridQuantizer(cfg)
+        ctx = _make_context(jnp.asarray(img), q.filters, cfg)
+        e, u = jax.jit(
+            make_population_fitness(ctx, cfg, q.filters.half_width)
+        )(pals)
+        res[mode] = (np.asarray(e), np.asarray(u))
+    np.testing.assert_allclose(res["on"][0], res["off"][0], rtol=2e-5)
+    np.testing.assert_array_equal(res["on"][1], res["off"][1])
+
+
+def test_conv_precision_bf16_close_on_hardware(rng):
+    """bf16 conv (the benched mode) stays within its documented ~1.6e-2
+    absolute fitness perturbation of the f32x3 conv on hardware."""
+    from hybridquantization_tpu.pipeline import (
+        _make_context,
+        make_population_fitness,
+    )
+
+    img = rng.random((300, 520, 3)).astype(np.float32)
+    pals = jnp.asarray(rng.random((2, 16, 3)).astype(np.float32))
+    errs = {}
+    for conv_prec in ["f32x3", "bf16"]:
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=16, population=2),
+            use_pallas="on", conv_precision=conv_prec,
+        )
+        q = HybridQuantizer(cfg)
+        ctx = _make_context(jnp.asarray(img), q.filters, cfg)
+        e, _ = jax.jit(
+            make_population_fitness(ctx, cfg, q.filters.half_width)
+        )(pals)
+        errs[conv_prec] = np.asarray(e)
+    np.testing.assert_allclose(errs["bf16"], errs["f32x3"], atol=5e-2)
+
+
+def test_fast_sharded_path_on_hardware(rng):
+    """The column-sharded engine's real-kernel path on however many chips
+    exist (1xN mesh; guard exchange rides ICI when N > 1, local mirrors
+    when N == 1)."""
+    from hybridquantization_tpu.parallel import (
+        ShardedBatchQuantizer,
+        make_mesh,
+        plan_fast,
+    )
+
+    n = len(jax.devices())
+    n_pixel = n  # all chips on the pixel axis
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=4, population=2, imax=4),
+        progress_every=2,
+    )
+    mesh = make_mesh(1, n_pixel)
+    q = ShardedBatchQuantizer(cfg, mesh, strategy="columns")
+    H, W = 256, 300 * n_pixel
+    *_, ok = plan_fast(H, W, q.filters.half_width, n_pixel)
+    assert ok
+    img = rng.random((1, H, W, 3)).astype(np.float32)
+    pal, info = q.find_palettes(img, chunk_size=2)
+    assert np.isfinite(info["best_errors"]).all()
+    out = np.asarray(q.quantize(img, pal))
+    assert out.shape == img.shape

@@ -1,0 +1,130 @@
+"""Multi-chip throughput bench of the column-sharded fast path.
+
+Times SWASA chunks per pixel-shard count on the column-sharded engine
+(parallel.fast: per-shard Pallas kernels, ppermute guards, member-
+pipelined psums). On real multi-chip hardware this measures ICI scaling
+(BASELINE north star: >= 80% linear to 2 hosts); on this environment
+(one chip / virtual CPU devices) it validates the sharded programs
+compile and run at every shard count, TPU-ready for real multi-chip.
+
+Run:
+  python tools/bench_multichip.py                      # all feasible counts
+  python tools/bench_multichip.py --shards 2,4 --size 512x768 --iters 10
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/bench_multichip.py --cpu            # 8 virtual devices
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", default="", help="comma list of pixel-shard counts")
+    ap.add_argument("--size", default="", help="HxW (default 4K on TPU, 256x1040 on CPU)")
+    ap.add_argument("--colors", "-k", type=int, default=256)
+    ap.add_argument("--population", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10, help="iterations per timed chunk")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (virtual devices via XLA_FLAGS)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.parallel import (
+        ShardedBatchQuantizer,
+        make_mesh,
+        plan_fast,
+    )
+
+    devices = jax.devices()
+    on_tpu = jax.default_backend() == "tpu"
+    if args.size:
+        H, W = (int(v) for v in args.size.split("x"))
+    elif on_tpu:
+        H, W = 2160, 3840
+    else:
+        H, W = 256, 1040
+    shard_counts = (
+        [int(s) for s in args.shards.split(",")]
+        if args.shards
+        else [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    )
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(
+            num_colors=args.colors, population=args.population, imax=10**6
+        ),
+        conv_precision="bf16",
+    )
+    rng = np.random.default_rng(0)
+    images = rng.random((1, H, W, 3), dtype=np.float32)
+    print(
+        f"device[0]={devices[0]}, n_devices={len(devices)}, image {H}x{W}, "
+        f"K={args.colors}, pop={args.population}",
+        file=sys.stderr,
+    )
+
+    results = []
+    for n_pixel in shard_counts:
+        q = ShardedBatchQuantizer(
+            cfg, make_mesh(1, n_pixel, devices=devices[:n_pixel]),
+            strategy="columns",
+        )
+        *_, ok = plan_fast(H, W, q.filters.half_width, n_pixel)
+        if not ok:
+            print(f"shards={n_pixel}: plan_fast infeasible, skipped", file=sys.stderr)
+            continue
+        prepare, init_fn, chunk_fn, _ = q._fast_fns
+        import jax.numpy as jnp
+
+        imgs = jnp.asarray(images)
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1, dtype=jnp.uint32))
+        ctx = prepare(imgs)
+        state = init_fn(imgs, ctx, keys, None)
+        state, _ = chunk_fn(state, imgs, ctx, args.iters)  # compile + warm
+        jax.device_get(state.best_error)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            state, _ = chunk_fn(state, imgs, ctx, args.iters)
+            jax.device_get(state.best_error)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        dt = ts[len(ts) // 2] / args.iters
+        row = {
+            "pixel_shards": n_pixel,
+            "iter_ms": round(dt * 1e3, 2),
+            "iters_per_s": round(1.0 / dt, 2),
+            "eval_mpix_per_s": round(
+                args.population * H * W / dt / 1e6, 1
+            ),
+        }
+        if results:
+            row["speedup_vs_1"] = round(
+                results[0]["iter_ms"] / row["iter_ms"], 3
+            )
+            row["scaling_efficiency"] = round(
+                row["speedup_vs_1"] / n_pixel, 3
+            )
+        results.append(row)
+        print(json.dumps(row))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
