@@ -71,6 +71,9 @@ class QuantizationConfig:
       (10.2 -> 6.0 ms at 4K/pop4, docs/PERFORMANCE.md round 2). "" (default)
       follows `precision`. The assignment scores stay at `precision` — THEY
       are the parity-critical part (bf16 scores flip 0.7% of assignments).
+      Inside the FUSED kernel "f32x3" is ~1e-5 effective (bf16 hi/lo
+      horizontal-pass scratch, ops/fused_fitness.py module doc); "highest"
+      keeps an f32 scratch for strict conv precision.
     """
 
     swasa: SWASAConfig = SWASAConfig()

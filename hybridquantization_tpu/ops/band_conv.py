@@ -186,164 +186,25 @@ def conv_v_banded_valid(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Block-conv formulation: the same banded matrices applied via ONE
-# conv_general_dilated over block space. The einsum path above materializes
-# three shifted copies of the image per pass (HBM-traffic bound, ~30 ms/pass
-# at 4K x pop4 on v5e); the conv op instead slides a window-3 kernel over the
-# block axis with 128 in/out features (perfect lane shape), reusing halos in
-# VMEM — one read + one write of the image per pass.
-# ---------------------------------------------------------------------------
-
-def _pad_blocks_h(x: jnp.ndarray, half: int):
-    """(..., W) -> (..., nb+2, BLOCK) with zero guard blocks both sides."""
-    xe = _mirror_extend(x, half, axis=x.ndim - 1)
-    nb = xe.shape[-1] // BLOCK
-    xb = xe.reshape(*xe.shape[:-1], nb, BLOCK)
-    zshape = list(xb.shape)
-    zshape[-2] = 1
-    zero = jnp.zeros(zshape, x.dtype)
-    return jnp.concatenate([zero, xb, zero], axis=-2), nb
-
-
-def conv_h_blocked(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
-    """(C, H, W) or (pop, C, H, W) horizontal pass via block-space conv."""
-    A, B, Cm, E = mats
-    batched = x.ndim == 4
-    xs = x if batched else x[None]
-    P_, C, H, W = xs.shape
-
-    xb, nb = _pad_blocks_h(xs, taps_half)  # (P, C, H, nb+2, B)
-    outs = []
-    for c in range(C):
-        lhs = xb[:, c].reshape(P_ * H, nb + 2, BLOCK)
-        rhs = jnp.stack([A[c], B[c], Cm[c]], axis=0)  # (3, B, B) "WIO"
-        y = lax.conv_general_dilated(
-            lhs, rhs, (1,), "VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=_PREC,
-        )  # (P*H, nb, B)
-        outs.append(y.reshape(P_, H, nb, BLOCK))
-    y = jnp.stack(outs, axis=1)  # (P, C, H, nb, B)
-
-    # left-edge reflection correction on block 0 (xb block 1 == x block 0)
-    y0 = y[..., 0, :] + jnp.einsum(
-        "pchb,cbk->pchk", xb[..., 1, :], E, precision=_PREC
-    )
-    y = jnp.concatenate([y0[..., None, :], y[..., 1:, :]], axis=-2)
-    y = y.reshape(P_, C, H, nb * BLOCK)[..., :W]
-    return y if batched else y[0]
-
-
-def conv_v_blocked(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
-    """(C, H, W) or (pop, C, H, W) vertical pass via block-space conv."""
-    A, B, Cm, E = mats
-    batched = x.ndim == 4
-    xs = x if batched else x[None]
-    P_, C, H, W = xs.shape
-
-    xe = _mirror_extend(xs, taps_half, axis=2)  # (P, C, He, W)
-    nb = xe.shape[2] // BLOCK
-    xb = xe.reshape(P_, C, nb, BLOCK, W)
-    zero = jnp.zeros((P_, C, 1, BLOCK, W), x.dtype)
-    xb = jnp.concatenate([zero, xb, zero], axis=2)  # (P, C, nb+2, B, W)
-
-    outs = []
-    for c in range(C):
-        lhs = xb[:, c]  # (P, nb+2, B, W): N, H-spatial, C-feature, W-spatial
-        rhs = jnp.stack([A[c], B[c], Cm[c]], axis=0)[:, None]  # (3, 1, B, B)
-        y = lax.conv_general_dilated(
-            lhs, rhs, (1, 1), "VALID",
-            dimension_numbers=("NHCW", "HWIO", "NHCW"),
-            precision=_PREC,
-        )  # (P, nb, B, W)
-        outs.append(y)
-    y = jnp.stack(outs, axis=1)  # (P, C, nb, B, W)
-
-    y0 = y[:, :, 0] + jnp.einsum(
-        "pcbw,cbk->pckw", xb[:, :, 1], E, precision=_PREC
-    )
-    y = jnp.concatenate([y0[:, :, None], y[:, :, 1:]], axis=2)
-    y = y.reshape(P_, C, nb * BLOCK, W)[:, :, :H, :]
-    return y if batched else y[0]
-
-
-# ---------------------------------------------------------------------------
-# Zero-copy fast path for PRE-PADDED images.
+# Pure-VALID fast path for PRE-PADDED images.
 #
-# The blocked/einsum paths above spend most of their time on HBM copies for
-# padding and shifted views (measured: each full-buffer concat costs ~4 ms at
-# the chip's ~230 GB/s). If the image is padded ONCE per image to
-# 128-multiples with `jnp.pad(mode="symmetric")` (so the first `half` padded
-# samples are the exact reflection the filter needs, and the rest are
-# harmless real-pixel duplicates), then each pass is reshape (free) + one
-# conv_general_dilated whose zero block-padding is applied inside the conv —
-# one HBM read and one write per pass, nothing else. The left/top edge
-# reflection is a tiny E-matrix correction on block 0.
+# The einsum path above spends most of its time on HBM copies for padding
+# and shifted views (measured: each full-buffer concat costs ~4 ms at the
+# chip's ~230 GB/s). If the image is padded ONCE per image to 128-multiples
+# with `jnp.pad(mode="symmetric")` (so the first `half` padded samples are
+# the exact reflection the filter needs, and the rest are harmless
+# real-pixel duplicates) plus one guard block per side, each pass is
+# reshape (free) + one VALID conv_general_dilated over block space with 128
+# in/out features (perfect lane shape) — one HBM read and one write per
+# pass, nothing else. Superseded intermediate formulations (blocked/padded
+# variants with in-conv zero padding and E-matrix corrections) were removed
+# in round 3; their measurements live in docs/PERFORMANCE.md and git
+# history.
 # ---------------------------------------------------------------------------
 
 def padded_size(n: int, half: int) -> int:
     """Smallest BLOCK multiple with room for the `half`-sample mirror."""
     return -(-(n + half) // BLOCK) * BLOCK
-
-
-def conv_h_padded(x: jnp.ndarray, mats, taps_half: int, src=None) -> jnp.ndarray:
-    """(P, C, H, Wp) -> (P, F, H, Wp); Wp % BLOCK == 0, mirror baked beyond
-    the true width. Columns past the true W are garbage-after-filtering and
-    must be sliced away by the caller after both passes.
-
-    `src` maps each of the F filters in `mats` to its source channel in x
-    (identity when None) — this is how the S-CIELAB 3-channel image expands
-    to 7 filtered components without materializing a concatenated copy.
-    """
-    A, B, Cm, E = mats
-    P_, C, H, Wp = x.shape
-    F = A.shape[0]
-    src = tuple(range(F)) if src is None else tuple(src)
-    nb = Wp // BLOCK
-    xb = x.reshape(P_, C, H, nb, BLOCK)
-    outs = []
-    x0 = []
-    for f in range(F):
-        lhs = xb[:, src[f]].reshape(P_ * H, nb, BLOCK)
-        rhs = jnp.stack([A[f], B[f], Cm[f]], axis=0)  # (3, B, B) "WIO"
-        y = lax.conv_general_dilated(
-            lhs, rhs, (1,), ((1, 1),),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=_PREC,
-        )
-        outs.append(y.reshape(P_, H, nb, BLOCK))
-        x0.append(xb[:, src[f], :, 0, :])
-    y = jnp.stack(outs, axis=1)
-    y0 = y[..., 0, :] + jnp.einsum(
-        "fphb,fbk->pfhk", jnp.stack(x0, 0), E, precision=_PREC
-    )
-    y = jnp.concatenate([y0[..., None, :], y[..., 1:, :]], axis=-2)
-    return y.reshape(P_, F, H, Wp)
-
-
-def conv_v_padded(x: jnp.ndarray, mats, taps_half: int) -> jnp.ndarray:
-    """(P, C, Hp, W) -> same shape; Hp % BLOCK == 0, mirror baked beyond the
-    true height."""
-    A, B, Cm, E = mats
-    P_, C, Hp, W = x.shape
-    nb = Hp // BLOCK
-    xb = x.reshape(P_, C, nb, BLOCK, W)
-    outs = []
-    for c in range(C):
-        lhs = xb[:, c]  # (P, nb, B, W): N, H-spatial, C-feature, W-spatial
-        rhs = jnp.stack([A[c], B[c], Cm[c]], axis=0)[:, None]  # (3, 1, B, B)
-        y = lax.conv_general_dilated(
-            lhs, rhs, (1, 1), ((1, 1), (0, 0)),
-            dimension_numbers=("NHCW", "HWIO", "NHCW"),
-            precision=_PREC,
-        )
-        outs.append(y)
-    y = jnp.stack(outs, axis=1)
-    y0 = y[:, :, 0] + jnp.einsum(
-        "pcbw,cbk->pckw", xb[:, :, 0], E, precision=_PREC
-    )
-    y = jnp.concatenate([y0[:, :, None], y[:, :, 1:]], axis=2)
-    return y.reshape(P_, C, Hp, W)
 
 
 def conv_h_valid(x: jnp.ndarray, mats, src=None) -> jnp.ndarray:
@@ -413,19 +274,3 @@ def padded_plan(H: int, W: int, half: int):
             Wp = Wg
             break
     return Hp, Wp, (Hp - H) <= H and (Wp - W) <= W
-
-
-class BandedConv:
-    """Prebuilt banded-matmul separable conv for a fixed (C, taps) kernel set."""
-
-    def __init__(self, kernels: np.ndarray):
-        kernels = np.asarray(kernels, np.float32)
-        self.half = kernels.shape[1] // 2
-        A, B, Cm, E = build_band_matrices(kernels)
-        self.mats = tuple(jnp.asarray(m) for m in (A, B, Cm, E))
-
-    def horizontal(self, x: jnp.ndarray) -> jnp.ndarray:
-        return conv_h_banded(x, self.mats, self.half)
-
-    def vertical(self, x: jnp.ndarray) -> jnp.ndarray:
-        return conv_v_banded(x, self.mats, self.half)

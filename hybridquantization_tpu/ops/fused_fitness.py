@@ -40,8 +40,15 @@ HBM traffic per evaluation: read q (x3 stripe overlap), read target once
 per member — everything else stays in VMEM.
 
 Precision modes (matmuls): "highest" (f32, 6 bf16 MXU passes), "f32x3"
-(hi/lo bf16 split, 3 passes, |err| ~1e-7 — default), "bf16" (1 pass, fast).
-The Delta-E/LAB tail is always f32 VPU math.
+(hi/lo bf16 split, 3 passes), "bf16" (1 pass, fast). NOTE the effective
+f32x3 precision of THIS kernel is ~1e-5 relative, not the ~1e-7 of the
+standalone f32x3 matmul: the horizontal-pass intermediate is stored as
+bf16 hi/lo scratch pairs (t7a/t7b, ~2^-16 relative representation) rather
+than f32, so the vertical pass inherits that quantization. The conv feeds
+the CONTINUOUS fitness value (never the argmax), so this is quality-
+neutral at parity scale (24-seed parity PASS, docs/PERFORMANCE.md); use
+"highest" when strict f32 conv output is required (it keeps an f32
+scratch). The Delta-E/LAB tail is always f32 VPU math.
 
 Layout contract (from pipeline._make_context / ops.band_conv.padded_plan):
   q:      (pop, 3, Hp, Wp) opponent image, mirror-padded to 128-multiples

@@ -314,7 +314,11 @@ def assign_opp_pop(
 ):
     """Population assignment: c4/o4 (pop, 4, K_pad) -> (opp (pop, 3, P_pad),
     usage accumulator (pop, K_pad, LANE) — reduce over the last axis for
-    exact per-palette counts). num_pixels: () int32 true pixel count."""
+    per-palette counts; each lane is an f32 sum of 0/1 hits, so a count is
+    EXACT only while a single entry stays below 2^24 (~16.7M) pixels —
+    beyond that (e.g. an 8K image assigned mostly to one entry) counts
+    saturate silently. Current callers only test > 0 (usage flags), which
+    is exact at any size. num_pixels: () int32 true pixel count."""
     pop = c4.shape[0]
     pp = x4.shape[1]
     kp = c4.shape[2]

@@ -309,12 +309,14 @@ class ShardedBatchQuantizer:
         img_spec = P(DATA_AXIS, PIXEL_AXIS)
         mesh = self.mesh
 
+        # Band matrices as traced args (not closure constants) — see
+        # parallel.fast._prepare (XLA constant-folding stalls).
         @jax.jit
-        def err_fn(orig, quant, h_valid):
-            def body(o_local, q_local, hv):
+        def _err_fn(orig, quant, h_valid, mh, mv):
+            def body(o_local, q_local, hv, mh, mv):
                 def per_image(o, q):
-                    lab_o = strip_scielab(o, mats_h, mats_v, half, wp)
-                    lab_q = strip_scielab(q, mats_h, mats_v, half, wp)
+                    lab_o = strip_scielab(o, mh, mv, half, wp)
+                    lab_q = strip_scielab(q, mh, mv, half, wp)
                     e = de_fn(lab_o, lab_q)
                     Hs = o.shape[0]
                     i = lax.axis_index(PIXEL_AXIS)
@@ -332,9 +334,12 @@ class ShardedBatchQuantizer:
 
             return shard_map(
                 body, mesh=mesh,
-                in_specs=(img_spec, img_spec, P()),
+                in_specs=(img_spec, img_spec, P(), P(), P()),
                 out_specs=(P(DATA_AXIS), img_spec),
-            )(orig, quant, jnp.asarray(h_valid, jnp.int32))
+            )(orig, quant, jnp.asarray(h_valid, jnp.int32), mh, mv)
+
+        def err_fn(orig, quant, h_valid):
+            return _err_fn(orig, quant, h_valid, mats_h, mats_v)
 
         return err_fn
 
@@ -348,7 +353,10 @@ class ShardedBatchQuantizer:
         transforms row-sharded (halo exchange) and the mean combined by
         psum. Arbitrary H: rows are symmetric-padded to the shard multiple
         (correct reflection context, masked out of the mean, cropped from
-        the viz).
+        the viz). Both returns are host (NumPy) values: the viz must be
+        gathered through _fetch because under a multi-process mesh the
+        sharded global array is not fully addressable and np.asarray on it
+        (e.g. the CLI save path) would fail.
         """
         originals = self._to_global(originals)
         quantized = self._to_global(quantized)
@@ -363,7 +371,7 @@ class ShardedBatchQuantizer:
         if self._error_fn is None:
             self._error_fn = self._build_error_fn()
         mean, viz = self._error_fn(orig_p, quant_p, H)
-        return self._fetch(mean), viz[:, :H]
+        return self._fetch(mean), self._fetch(viz[:, :H])
 
     def polish(self, images, palettes, iters: int = 10):
         """Per-image Lloyd refinement (pipeline.HybridQuantizer.polish doc)."""

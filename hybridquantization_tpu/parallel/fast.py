@@ -244,8 +244,12 @@ def build_sharded_fast_fns(
         )
 
     # -- prepare: pad once, pack pixel features per shard, global target ----
+    # The band matrices are TRACED arguments, not closure constants: a
+    # closed-over constant feeding the vmapped HIGHEST einsum makes XLA
+    # constant-fold image-sized dots at compile time (>2 s stalls on every
+    # first compile — round-2 MULTICHIP dryrun tail / VERDICT Weak #6).
     @jax.jit
-    def prepare(images):
+    def _prepare(images, mh, mv):
         B, H, W, _ = images.shape
         Hp, Wt, Ws, ok = plan_fast(H, W, half, n_pixel)
         assert ok, "plan_fast infeasible; use the row-sharded path"
@@ -259,7 +263,7 @@ def build_sharded_fast_fns(
         def one_target(img):
             opp = cs.xyz_to_opp(cs.srgb_to_xyz(img))
             filt = sct.scielab_filter_banded(
-                jnp.moveaxis(opp, -1, 0), mats_h, mats_v, half
+                jnp.moveaxis(opp, -1, 0), mh, mv, half
             )
             lab = cs.opp_to_lab(jnp.moveaxis(filt, 0, -1), wp)
             return jnp.pad(
@@ -279,6 +283,9 @@ def build_sharded_fast_fns(
 
         x4 = _sm(pack_local, (img_spec,), x4_spec)(padded)
         return {"targets": targets, "x4": x4}
+
+    def prepare(images):
+        return _prepare(images, mats_h, mats_v)
 
     def _fitness(x4i, tgti, H, W, Hp, Ws):
         return make_fast_fitness(

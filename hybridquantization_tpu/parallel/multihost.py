@@ -12,14 +12,18 @@ never cross DCN) and the "pixel" axis stays within a host so the conv halo
 ppermute is ICI-only. `distributed_mesh` encodes that layout.
 
 Each process must call `init_distributed` before any jax op, then only
-interact with GLOBAL arrays built via `host_local_to_global`.
+interact with GLOBAL arrays (ShardedBatchQuantizer._to_global builds them:
+every process holds the same host batch and materializes only its
+addressable shards via make_array_from_callback; _fetch allgathers results
+back). Proven by tests/test_multihost.py, which runs a real 2-process
+jax.distributed CPU cluster and asserts equality with single-process.
 """
 
 from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from .mesh import DATA_AXIS, PIXEL_AXIS
 
@@ -76,16 +80,3 @@ def distributed_mesh(pixel_per_host: int | None = None) -> Mesh:
     n_data = devices.size // n_pixel
     grid = devices.reshape(n_data, n_pixel)
     return Mesh(grid, (DATA_AXIS, PIXEL_AXIS))
-
-
-def host_local_to_global(mesh: Mesh, local_batch: np.ndarray):
-    """Assemble per-host (B_local, H, W, 3) image batches into one global
-    sharded array (each host contributes its local shard)."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS, PIXEL_AXIS))
-    global_shape = (
-        local_batch.shape[0] * jax.process_count(),
-        *local_batch.shape[1:],
-    )
-    return jax.make_array_from_process_local_data(
-        sharding, local_batch, global_shape
-    )

@@ -145,12 +145,20 @@ def build_sharded_fns(mesh, cfg: QuantizationConfig, filters: ScielabFilters):
         return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
     # -- target S-CIELAB of the originals (once per batch) ------------------
+    # Band matrices as traced args (not closure constants): see
+    # parallel.fast._prepare — constants feeding the HIGHEST banded einsum
+    # trigger multi-second XLA constant-folding stalls on first compile.
     @jax.jit
-    def prepare(images):  # (B, H, W, 3) -> (B, H, W, 3) target LAB
-        def body(imgs_local):
-            return jax.vmap(lambda im: strip_scielab(im, mats_h, mats_v, half, wp))(imgs_local)
+    def _prepare(images, mh, mv):  # (B, H, W, 3) -> (B, H, W, 3) target LAB
+        def body(imgs_local, mh, mv):
+            return jax.vmap(
+                lambda im: strip_scielab(im, mh, mv, half, wp)
+            )(imgs_local)
 
-        return _sm(body, (img_spec,), img_spec)(images)
+        return _sm(body, (img_spec, P(), P()), img_spec)(images, mh, mv)
+
+    def prepare(images):
+        return _prepare(images, mats_h, mats_v)
 
     # -- init: palettes + initial fitness ------------------------------------
     # init_colors: optional (B, pop, K, 3) seed palettes (e.g. ops.kmeans);

@@ -311,23 +311,30 @@ class HybridQuantizer:
         half = self.filters.half_width
         wp = jnp.asarray(self._whitepoint)
 
-        def _scielab(img):
+        # Band matrices as traced args (not closure constants): constants
+        # feeding the HIGHEST banded einsum trigger multi-second XLA
+        # constant-folding stalls on first compile (parallel.fast._prepare).
+        def _scielab(img, mh, mv):
             opp = cs.xyz_to_opp(cs.srgb_to_xyz(img))
             filtered = sct.scielab_filter_banded(
-                jnp.moveaxis(opp, -1, 0), mats_h, mats_v, half
+                jnp.moveaxis(opp, -1, 0), mh, mv, half
             )
             return cs.opp_to_lab(jnp.moveaxis(filtered, 0, -1), wp)
 
         # One compiled function per image shape (jit caches on shape).
-        self._scielab_jit = jax.jit(_scielab)
+        _scielab_inner = jax.jit(_scielab)
+        self._scielab_jit = lambda img: _scielab_inner(img, mats_h, mats_v)
         de_fn = cs.DELTA_E_FNS[self.config.deltaE]
 
-        def _error_image(orig, quant):
-            e = de_fn(self._scielab_jit(orig), self._scielab_jit(quant))
+        def _error_image(orig, quant, mh, mv):
+            e = de_fn(
+                _scielab(orig, mh, mv), _scielab(quant, mh, mv)
+            )
             viz = ((255.0 - e) ** 2) / (255.0**2)
             return jnp.mean(e), jnp.repeat(viz[..., None], 3, axis=-1)
 
-        self._error_image_jit = jax.jit(_error_image)
+        _error_inner = jax.jit(_error_image)
+        self._error_image_jit = lambda o, q: _error_inner(o, q, mats_h, mats_v)
         self._quantize_jit = jax.jit(self._quantize_impl)
 
     # -- S-CIELAB -----------------------------------------------------------

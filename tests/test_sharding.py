@@ -156,9 +156,11 @@ def test_batch_validation_errors(rng):
 
 
 def test_batch_odd_height_pads_and_matches_single(rng):
-    """H=41 over 4 row shards: the engine pads to 44 symmetric rows, masks
-    them out of the fitness, and matches the single-device engine exactly
-    (round-1 VERDICT: odd-H inputs must not bounce off the batch engine)."""
+    """H=41 over 4 row shards: _row_plan pads to 52 symmetric rows (the pad
+    must be >= the half-width 10 so every valid row's vertical-conv context
+    comes from exact-reflection pad rows), masks them out of the fitness,
+    and matches the single-device engine exactly (round-1 VERDICT: odd-H
+    inputs must not bounce off the batch engine)."""
     mesh = make_mesh(1, 4)
     cfg = QuantizationConfig(
         swasa=SWASAConfig(num_colors=4, population=2, imax=10), seed=3

@@ -115,11 +115,17 @@ def main() -> int:
             ),
         }
         if results:
-            row["speedup_vs_1"] = round(
-                results[0]["iter_ms"] / row["iter_ms"], 3
+            # Baseline = the FIRST FEASIBLE shard count (not necessarily 1:
+            # --shards 2,4 or an infeasible 1-shard plan start elsewhere);
+            # the key names it so scaling is never read against the wrong
+            # denominator.
+            base = results[0]
+            row[f"speedup_vs_{base['pixel_shards']}"] = round(
+                base["iter_ms"] / row["iter_ms"], 3
             )
             row["scaling_efficiency"] = round(
-                row["speedup_vs_1"] / n_pixel, 3
+                base["iter_ms"] / row["iter_ms"]
+                * base["pixel_shards"] / n_pixel, 3
             )
         results.append(row)
         print(json.dumps(row))
