@@ -52,6 +52,14 @@ def init_distributed(
 
         if getattr(_dist.global_state, "client", None) is not None:
             return
+    # Cross-process collectives on the CPU backend need gloo (TPU rides
+    # ICI/DCN natively and ignores this flag). Set it only when CPU has
+    # been explicitly forced, BEFORE the backend initializes.
+    try:
+        if (jax.config.jax_platforms or "") == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older/newer jax without the option: use its default
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
