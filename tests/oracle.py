@@ -144,11 +144,13 @@ def build_filters(dpi=72, dist_cm=45.0):
 
 # -- spatial filtering ------------------------------------------------------
 
-def scielab_filter(opp_hwc, ofilters, abs_k3):
+def scielab_filter_direct(opp_hwc, ofilters, abs_k3):
     """Per-channel sum of separable filters, symmetric reflection padding.
 
     Horizontal+vertical pass per component; the luminance channel's third
-    component uses |k3| vertically.
+    component uses |k3| vertically. Direct spatial form (scipy correlate1d)
+    — the definitional implementation; scielab_filter below is the fast
+    FFT-equivalent used for large images.
     """
     out = np.zeros_like(opp_hwc)
     for c in range(3):
@@ -161,6 +163,76 @@ def scielab_filter(opp_hwc, ofilters, abs_k3):
     return out
 
 
+def _fft_len(n: int) -> int:
+    """Smallest 5-smooth length >= n (pocketfft is fast at these)."""
+    m = n
+    while True:
+        k = m
+        for f in (2, 3, 5):
+            while k % f == 0:
+                k //= f
+        if k == 1:
+            return m
+        m += 1
+
+
+_TRANSFER_CACHE: dict = {}
+
+
+def _channel_transfer(ofilters, abs_k3, Hf, Wf):
+    """(3, Hf, Wf//2+1) combined per-channel transfer functions.
+
+    Each channel's filter is a sum of separable outer products kv_j x kh_j
+    (the luminance channel's third component uses |k3| vertically); all
+    components fold into ONE circular-convolution transfer function per
+    channel. The component Gaussians are symmetric, so correlation equals
+    convolution.
+    """
+    key = (Hf, Wf, abs_k3.tobytes(),
+           tuple(k.tobytes() for comps in ofilters for k in comps))
+    hit = _TRANSFER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    width = len(abs_k3)
+    half = width // 2
+    tf = np.empty((3, Hf, Wf // 2 + 1), np.complex128)
+    for c in range(3):
+        ker = np.zeros((Hf, Wf))
+        for j, kh in enumerate(ofilters[c]):
+            kv = abs_k3 if (c == 0 and j == 2) else kh
+            block = np.outer(kv, kh)  # rows = vertical taps
+            # place centered at the origin with circular wrap
+            rows = (np.arange(width) - half) % Hf
+            cols = (np.arange(width) - half) % Wf
+            ker[np.ix_(rows, cols)] += block
+        tf[c] = np.fft.rfft2(ker)
+    _TRANSFER_CACHE[key] = tf
+    return tf
+
+
+def scielab_filter(opp_hwc, ofilters, abs_k3):
+    """FFT-equivalent of scielab_filter_direct (same reflection semantics).
+
+    The image is half-sample-symmetric padded by the filter half-width
+    (exactly the reflection context the direct form reads), then zero-padded
+    to an FFT-friendly size: every retained output's support lies inside
+    the symmetric pad, so the circular wrap never reaches it — the result
+    equals the direct form to FFT rounding (~1e-12). One forward + one
+    inverse transform per channel replaces 14 spatial passes.
+    """
+    H, W, _ = opp_hwc.shape
+    half = len(abs_k3) // 2
+    Hf, Wf = _fft_len(H + 2 * half), _fft_len(W + 2 * half)
+    tf = _channel_transfer(ofilters, abs_k3, Hf, Wf)
+    xpad = np.pad(opp_hwc, ((half, half), (half, half), (0, 0)), mode="symmetric")
+    out = np.empty_like(opp_hwc)
+    for c in range(3):
+        spec = np.fft.rfft2(xpad[..., c], s=(Hf, Wf))
+        y = np.fft.irfft2(spec * tf[c], s=(Hf, Wf))
+        out[..., c] = y[half : half + H, half : half + W]
+    return out
+
+
 def srgb_to_scielab(image_hwc, ofilters, abs_k3, wp=D65):
     opp = xyz_to_opp(srgb_to_xyz(image_hwc))
     return opp_to_lab(scielab_filter(opp, ofilters, abs_k3), wp)
@@ -168,10 +240,22 @@ def srgb_to_scielab(image_hwc, ofilters, abs_k3, wp=D65):
 
 # -- assignment + fitness ---------------------------------------------------
 
-def nearest_palette(pixels, palette):
-    """First-minimum nearest assignment (OptimizedConvolution.cl:147-170)."""
-    d = np.linalg.norm(pixels[:, None, :] - palette[None, :, :], axis=-1)
-    return np.argmin(d, axis=1)
+def nearest_palette(pixels, palette, chunk=1 << 17):
+    """First-minimum nearest assignment (OptimizedConvolution.cl:147-170).
+
+    argmin_k ||p - c_k||^2 == argmax_k (p.c_k - |c_k|^2/2); np.argmax keeps
+    the first index on ties like the reference's strict-less scan. Chunked
+    so the (P, K) score matrix never exceeds ~64 MB.
+    """
+    pixels = np.asarray(pixels, np.float64)
+    palette = np.asarray(palette, np.float64)
+    bias = 0.5 * np.einsum("kc,kc->k", palette, palette)
+    out = np.empty(len(pixels), np.int64)
+    for i in range(0, len(pixels), chunk):
+        s = pixels[i : i + chunk] @ palette.T
+        s -= bias
+        out[i : i + chunk] = np.argmax(s, axis=1)
+    return out
 
 
 def fitness(image_hwc, target_lab, palette, ofilters, abs_k3, delta=2.0, wp=D65):
@@ -179,8 +263,12 @@ def fitness(image_hwc, target_lab, palette, ofilters, abs_k3, delta=2.0, wp=D65)
     idx = nearest_palette(image_hwc.reshape(-1, 3), palette)
     used = np.zeros(len(palette), bool)
     used[idx] = True
-    q = palette[idx].reshape(H, W, 3)
-    q_lab = srgb_to_scielab(q, ofilters, abs_k3, wp)
+    # The quantized image has only K distinct colors: run the pointwise
+    # sRGB -> XYZ -> Opp chain on the PALETTE and gather (identical math,
+    # K evaluations instead of H*W).
+    opp_palette = xyz_to_opp(srgb_to_xyz(palette))
+    q_opp = opp_palette[idx].reshape(H, W, 3)
+    q_lab = opp_to_lab(scielab_filter(q_opp, ofilters, abs_k3), wp)
     return delta_e76(target_lab, q_lab).mean() + delta * (~used).sum()
 
 

@@ -57,6 +57,13 @@ def main() -> int:
     ap.add_argument("--population", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=24)
     ap.add_argument("--tolerance", type=float, default=0.01, help="relative gap for PASS")
+    ap.add_argument(
+        "--oracle-jobs", type=int, default=1,
+        help="run the oracle seeds in N parallel processes (the engine "
+        "seeds always run first, sequentially — one TPU). Use for the "
+        "config-2-scale check (--size 1024 --colors 64), where one oracle "
+        "seed is ~an hour of NumPy",
+    )
     ap.add_argument("--precision", default="f32x3", choices=["highest", "f32x3", "bf16"])
     ap.add_argument("--tie-mode", default="first", choices=["first", "average"])
     ap.add_argument(
@@ -139,9 +146,10 @@ def main() -> int:
         ours_mse.append(mse)
         print(
             f"[ours]   seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
-            f"({time.time() - t0:.1f}s)"
+            f"({time.time() - t0:.1f}s)", flush=True,
         )
 
+    def oracle_seed(s):
         t0 = time.time()
         pal_o, _ = oracle.swasa_search(
             img.astype(np.float64),
@@ -150,12 +158,22 @@ def main() -> int:
             population=args.population,
             imax=args.imax,
         )
+        return pal_o, time.time() - t0
+
+    if args.oracle_jobs > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(args.oracle_jobs) as pool:
+            results = pool.map(oracle_seed, range(args.seeds))
+    else:
+        results = [oracle_seed(s) for s in range(args.seeds)]
+    for s, (pal_o, dt) in enumerate(results):
         de, mse = quality(pal_o)
         oracle_de.append(de)
         oracle_mse.append(mse)
         print(
             f"[oracle] seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
-            f"({time.time() - t0:.1f}s)"
+            f"({dt:.1f}s)", flush=True,
         )
 
     m_ours, m_oracle = np.mean(ours_de), np.mean(oracle_de)
