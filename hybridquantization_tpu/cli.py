@@ -143,6 +143,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--mesh-data", type=int, default=1, help="data-parallel mesh axis")
     b.add_argument("--mesh-pixel", type=int, default=0, help="pixel mesh axis (0 = rest)")
     b.add_argument(
+        "--mesh-pop", type=int, default=1,
+        help="population (EP) mesh axis: shard the SWASA candidates over "
+        "this many devices (must divide --population; ignored with "
+        "--distributed)",
+    )
+    b.add_argument(
         "--assignment-space", choices=["srgb", "lab"], default="srgb"
     )
     b.add_argument("--seed", type=int, default=0)
@@ -308,7 +314,9 @@ def cmd_quantize_batch(args) -> int:
         init_distributed(args.coordinator, args.num_processes, args.process_id)
         mesh = distributed_mesh(args.mesh_pixel or None)
     else:
-        mesh = make_mesh(args.mesh_data, args.mesh_pixel or None)
+        mesh = make_mesh(
+            args.mesh_data, args.mesh_pixel or None, n_pop=args.mesh_pop
+        )
     engine = ShardedBatchQuantizer(cfg, mesh)
     print(
         f"mesh {engine.n_data}x{engine.n_pixel}, {len(args.inputs)} images, "

@@ -3,11 +3,13 @@
 from .mesh import (
     DATA_AXIS,
     PIXEL_AXIS,
+    POP_AXIS,
     make_mesh,
     batch_image_sharding,
     batch_state_sharding,
     replicated,
 )
+from .population import shard_population
 from .halo import conv1d_vertical_sharded, exchange_row_halos
 from .sharded import (
     build_sharded_fns,
@@ -21,6 +23,8 @@ from .batch import ShardedBatchQuantizer
 __all__ = [
     "DATA_AXIS",
     "PIXEL_AXIS",
+    "POP_AXIS",
+    "shard_population",
     "make_mesh",
     "batch_image_sharding",
     "batch_state_sharding",

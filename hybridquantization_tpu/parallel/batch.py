@@ -91,6 +91,14 @@ class ShardedBatchQuantizer:
     def n_pixel(self) -> int:
         return self.mesh.shape[PIXEL_AXIS]
 
+    @property
+    def n_pop(self) -> int:
+        """Population (EP) mesh-axis size; 1 when the mesh has no pop axis
+        (e.g. multihost.distributed_mesh). See parallel.population."""
+        from .mesh import POP_AXIS
+
+        return dict(self.mesh.shape).get(POP_AXIS, 1)
+
     def _check(self, images) -> None:
         """Strategy-independent input validation (batch/channel shape only).
 

@@ -51,7 +51,8 @@ from ..scielab import transform as sct
 from ..scielab.filters import ScielabFilters
 from ..swasa import loop as swasa_loop
 from ..swasa import schedule
-from .mesh import DATA_AXIS, PIXEL_AXIS
+from .mesh import DATA_AXIS, PIXEL_AXIS, POP_AXIS
+from .population import shard_population
 
 
 def plan_fast(H: int, W: int, half: int, n_pixel: int):
@@ -226,6 +227,12 @@ def build_sharded_fast_fns(
     half = filters.half_width
     wp = jnp.asarray(cs.WHITEPOINTS[cfg.scielab.whitepoint])
     n_pixel = mesh.shape[PIXEL_AXIS]
+    n_pop = dict(mesh.shape).get(POP_AXIS, 1)  # EP axis (parallel.population)
+    if cfg.swasa.population % n_pop:
+        raise ValueError(
+            f"population {cfg.swasa.population} not divisible by the pop "
+            f"mesh axis ({n_pop})"
+        )
     lab_assign = cfg.assignment_space == "lab"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -288,10 +295,11 @@ def build_sharded_fast_fns(
         return _prepare(images, mats_h, mats_v)
 
     def _fitness(x4i, tgti, H, W, Hp, Ws):
-        return make_fast_fitness(
+        fn = make_fast_fitness(
             x4i, tgti, cfg, mats_h, mats_v, wp,
             H=H, W=W, Hp=Hp, Ws=Ws, n_pixel=n_pixel, interpret=interpret,
         )
+        return shard_population(fn, cfg.swasa.population, n_pop, POP_AXIS)
 
     # -- init -----------------------------------------------------------------
     # init_colors: optional (B, pop, K, 3) seed palettes (e.g. ops.kmeans);

@@ -36,7 +36,8 @@ from ..scielab.filters import ScielabFilters
 from ..swasa import loop as swasa_loop
 from ..swasa import schedule
 from .halo import exchange_row_halos
-from .mesh import DATA_AXIS, PIXEL_AXIS
+from .mesh import DATA_AXIS, PIXEL_AXIS, POP_AXIS
+from .population import shard_population
 from ..ops.band_conv import conv_h_banded, conv_v_banded_valid
 
 
@@ -138,8 +139,25 @@ def build_sharded_fns(mesh, cfg: QuantizationConfig, filters: ScielabFilters):
     mats_h, mats_v = sct.band_matrices(filters)
     half = filters.half_width
     wp = jnp.asarray(cs.WHITEPOINTS[cfg.scielab.whitepoint])
+    n_pop = dict(mesh.shape).get(POP_AXIS, 1)  # EP axis (parallel.population)
+    if cfg.swasa.population % n_pop:
+        raise ValueError(
+            f"population {cfg.swasa.population} not divisible by the pop "
+            f"mesh axis ({n_pop})"
+        )
     img_spec = P(DATA_AXIS, PIXEL_AXIS)
     state_spec = P(DATA_AXIS)
+
+    def _image_fitness(img, tgt, hv):
+        fitness = make_strip_fitness(
+            img, tgt, mats_h, mats_v, half, wp, cfg, h_valid=hv
+        )
+        if n_pop == 1:
+            return fitness
+        return shard_population(
+            swasa_loop.as_population_fitness(fitness),
+            cfg.swasa.population, n_pop, POP_AXIS,
+        )
 
     def _sm(fn, in_specs, out_specs):
         return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -171,9 +189,7 @@ def build_sharded_fns(mesh, cfg: QuantizationConfig, filters: ScielabFilters):
             rest = list(rest)
             hv = rest.pop() if h_valid is not None else None
             def per_image(img, tgt, key, *colors):
-                fitness = make_strip_fitness(
-                    img, tgt, mats_h, mats_v, half, wp, cfg, h_valid=hv
-                )
+                fitness = _image_fitness(img, tgt, hv)
                 return swasa_loop.init_state(
                     key, fitness, cfg.swasa, colors[0] if colors else None
                 )
@@ -196,9 +212,7 @@ def build_sharded_fns(mesh, cfg: QuantizationConfig, filters: ScielabFilters):
         def body(state_local, imgs_local, tgt_local, *rest):
             hv = rest[0] if h_valid is not None else None
             def per_image(st, img, tgt):
-                fitness = make_strip_fitness(
-                    img, tgt, mats_h, mats_v, half, wp, cfg, h_valid=hv
-                )
+                fitness = _image_fitness(img, tgt, hv)
                 return swasa_loop.run_chunk(st, fitness, cfg.swasa, num_iters)
 
             return jax.vmap(per_image)(state_local, imgs_local, tgt_local)

@@ -390,3 +390,68 @@ def test_fast_batch_matches_row_path(rng):
     assert info_f["best_errors"][0] == pytest.approx(
         info_r["best_errors"][0], rel=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Population-axis (EP) sharding: parallel.population.shard_population
+# ---------------------------------------------------------------------------
+
+
+def test_pop_axis_row_engine_bit_equal(rng):
+    """Row engine on a (1, pop=2, pixel=4) mesh == (1, 1, 4) mesh BIT-FOR-BIT.
+
+    The pixel axis is identical on both sides (4 shards), so every
+    per-member evaluation is the same program; the pop-axis slice +
+    psum-of-placements recombination must not change a single bit."""
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=4, population=2, imax=8), seed=5
+    )
+    img = rng.random((1, 48, 16, 3), dtype=np.float32)
+
+    base = ShardedBatchQuantizer(cfg, make_mesh(1, 4), strategy="rows")
+    pal_a, info_a = base.find_palettes(img)
+
+    ep = ShardedBatchQuantizer(
+        cfg, make_mesh(1, 4, n_pop=2), strategy="rows"
+    )
+    assert ep.n_pop == 2
+    pal_b, info_b = ep.find_palettes(img)
+
+    np.testing.assert_array_equal(np.asarray(pal_a), np.asarray(pal_b))
+    np.testing.assert_array_equal(
+        np.asarray(info_a["best_errors"]), np.asarray(info_b["best_errors"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(info_a["state"].current_errors)),
+        np.asarray(jax.device_get(info_b["state"].current_errors)),
+    )
+
+
+def test_pop_axis_fast_engine_bit_equal(rng):
+    """Column-sharded fast engine with a pop axis == without, bit-for-bit
+    (member-pipelined psums + Pallas kernels per pop shard)."""
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=5, population=2, imax=6), seed=2
+    )
+    img = rng.random((1, 140, 160, 3), dtype=np.float32)
+
+    base = ShardedBatchQuantizer(cfg, make_mesh(1, 2), strategy="columns")
+    pal_a, info_a = base.find_palettes(img)
+
+    ep = ShardedBatchQuantizer(
+        cfg, make_mesh(1, 2, n_pop=2), strategy="columns"
+    )
+    pal_b, info_b = ep.find_palettes(img)
+
+    np.testing.assert_array_equal(np.asarray(pal_a), np.asarray(pal_b))
+    np.testing.assert_array_equal(
+        np.asarray(info_a["best_errors"]), np.asarray(info_b["best_errors"])
+    )
+
+
+def test_pop_axis_indivisible_population_raises(rng):
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=4, population=3, imax=2)
+    )
+    with pytest.raises(ValueError, match="not divisible by the pop"):
+        ShardedBatchQuantizer(cfg, make_mesh(1, 2, n_pop=2), strategy="rows")
