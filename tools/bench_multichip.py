@@ -7,6 +7,10 @@ pipelined psums). On real multi-chip hardware this measures ICI scaling
 (one chip / virtual CPU devices) it validates the sharded programs
 compile and run at every shard count, TPU-ready for real multi-chip.
 
+`measure_scaling` is the library entry — bench.py folds its rows into the
+BENCH json (extra.multichip), so a real multi-chip environment produces
+the scaling table with zero new code.
+
 Run:
   python tools/bench_multichip.py                      # all feasible counts
   python tools/bench_multichip.py --shards 2,4 --size 512x768 --iters 10
@@ -23,6 +27,92 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure_scaling(
+    shard_counts, H, W, colors=256, population=4, iters=10, reps=3,
+    log=None,
+):
+    """Per-pixel-shard-count SWASA timing rows for the column-sharded engine.
+
+    Returns a list of row dicts (pixel_shards, iter_ms, iters_per_s,
+    eval_mpix_per_s, and — beyond the first feasible count — an explicit
+    speedup_vs_<baseline> plus scaling_efficiency). Infeasible counts are
+    skipped (plan_fast mirror-pad limit).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.parallel import (
+        ShardedBatchQuantizer,
+        make_mesh,
+        plan_fast,
+    )
+
+    devices = jax.devices()
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(
+            num_colors=colors, population=population, imax=10**6
+        ),
+        conv_precision="bf16",
+    )
+    rng = np.random.default_rng(0)
+    images = rng.random((1, H, W, 3), dtype=np.float32)
+
+    results = []
+    for n_pixel in shard_counts:
+        if n_pixel > len(devices):
+            continue
+        q = ShardedBatchQuantizer(
+            cfg, make_mesh(1, n_pixel, devices=devices[:n_pixel]),
+            strategy="columns",
+        )
+        *_, ok = plan_fast(H, W, q.filters.half_width, n_pixel)
+        if not ok:
+            if log:
+                log(f"shards={n_pixel}: plan_fast infeasible, skipped")
+            continue
+        prepare, init_fn, chunk_fn, _ = q._fast_fns
+
+        imgs = jnp.asarray(images)
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1, dtype=jnp.uint32))
+        ctx = prepare(imgs)
+        state = init_fn(imgs, ctx, keys, None)
+        state, _ = chunk_fn(state, imgs, ctx, iters)  # compile + warm
+        jax.device_get(state.best_error)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, _ = chunk_fn(state, imgs, ctx, iters)
+            jax.device_get(state.best_error)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        dt = ts[len(ts) // 2] / iters
+        row = {
+            "pixel_shards": n_pixel,
+            "iter_ms": round(dt * 1e3, 2),
+            "iters_per_s": round(1.0 / dt, 2),
+            "eval_mpix_per_s": round(population * H * W / dt / 1e6, 1),
+        }
+        if results:
+            # Baseline = the FIRST FEASIBLE shard count (not necessarily 1:
+            # --shards 2,4 or an infeasible 1-shard plan start elsewhere);
+            # the key names it so scaling is never read against the wrong
+            # denominator.
+            base = results[0]
+            row[f"speedup_vs_{base['pixel_shards']}"] = round(
+                base["iter_ms"] / row["iter_ms"], 3
+            )
+            row["scaling_efficiency"] = round(
+                base["iter_ms"] / row["iter_ms"]
+                * base["pixel_shards"] / n_pixel, 3
+            )
+        results.append(row)
+        if log:
+            log(json.dumps(row))
+    return results
 
 
 def main() -> int:
@@ -43,14 +133,6 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import numpy as np
-
-    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
-    from hybridquantization_tpu.parallel import (
-        ShardedBatchQuantizer,
-        make_mesh,
-        plan_fast,
-    )
 
     devices = jax.devices()
     on_tpu = jax.default_backend() == "tpu"
@@ -65,71 +147,16 @@ def main() -> int:
         if args.shards
         else [n for n in (1, 2, 4, 8) if n <= len(devices)]
     )
-    cfg = QuantizationConfig(
-        swasa=SWASAConfig(
-            num_colors=args.colors, population=args.population, imax=10**6
-        ),
-        conv_precision="bf16",
-    )
-    rng = np.random.default_rng(0)
-    images = rng.random((1, H, W, 3), dtype=np.float32)
     print(
         f"device[0]={devices[0]}, n_devices={len(devices)}, image {H}x{W}, "
         f"K={args.colors}, pop={args.population}",
         file=sys.stderr,
     )
-
-    results = []
-    for n_pixel in shard_counts:
-        q = ShardedBatchQuantizer(
-            cfg, make_mesh(1, n_pixel, devices=devices[:n_pixel]),
-            strategy="columns",
-        )
-        *_, ok = plan_fast(H, W, q.filters.half_width, n_pixel)
-        if not ok:
-            print(f"shards={n_pixel}: plan_fast infeasible, skipped", file=sys.stderr)
-            continue
-        prepare, init_fn, chunk_fn, _ = q._fast_fns
-        import jax.numpy as jnp
-
-        imgs = jnp.asarray(images)
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1, dtype=jnp.uint32))
-        ctx = prepare(imgs)
-        state = init_fn(imgs, ctx, keys, None)
-        state, _ = chunk_fn(state, imgs, ctx, args.iters)  # compile + warm
-        jax.device_get(state.best_error)
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            state, _ = chunk_fn(state, imgs, ctx, args.iters)
-            jax.device_get(state.best_error)
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        dt = ts[len(ts) // 2] / args.iters
-        row = {
-            "pixel_shards": n_pixel,
-            "iter_ms": round(dt * 1e3, 2),
-            "iters_per_s": round(1.0 / dt, 2),
-            "eval_mpix_per_s": round(
-                args.population * H * W / dt / 1e6, 1
-            ),
-        }
-        if results:
-            # Baseline = the FIRST FEASIBLE shard count (not necessarily 1:
-            # --shards 2,4 or an infeasible 1-shard plan start elsewhere);
-            # the key names it so scaling is never read against the wrong
-            # denominator.
-            base = results[0]
-            row[f"speedup_vs_{base['pixel_shards']}"] = round(
-                base["iter_ms"] / row["iter_ms"], 3
-            )
-            row["scaling_efficiency"] = round(
-                base["iter_ms"] / row["iter_ms"]
-                * base["pixel_shards"] / n_pixel, 3
-            )
-        results.append(row)
-        print(json.dumps(row))
-    return 0
+    rows = measure_scaling(
+        shard_counts, H, W, args.colors, args.population, args.iters,
+        args.reps, log=print,
+    )
+    return 0 if rows else 1
 
 
 if __name__ == "__main__":
