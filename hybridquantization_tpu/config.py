@@ -50,8 +50,10 @@ class QuantizationConfig:
       CIELAB Delta-E76 (the BASELINE north-star kernel).
     precision: assignment-scores matmul precision on TPU —
       "highest" (true f32, 6 bf16 MXU passes; bit-matches the jnp path),
-      "f32x3" (hi/lo bf16 split, 3 passes, |err| ~1e-7 — the default;
-      assignment flips only on score gaps below ~1e-7, quality-neutral),
+      "f32x3" (hi/lo bf16 split, 3 passes, |err| ~2^-18 |s| ~ 1e-6 —
+      the default; assignment flips only on score gaps below that (4e-4
+      of pixels at K=256 random, measured on hardware), quality-neutral
+      at 24-seed parity),
       "bf16" (1 pass fast mode; flips ~0.7% of assignments and costs
       ~1.2% mean-deltaE at convergence — measured over 24 seeds, JUST
       outside the 1% parity budget; use f32x3 whenever parity matters).
@@ -65,8 +67,9 @@ class QuantizationConfig:
     conv_precision: matmul precision of the per-evaluation S-CIELAB filter
       (the fused fitness kernel), separable from `precision` because the
       conv feeds the CONTINUOUS fitness value, not the argmax: a bf16 conv
-      perturbs the mean Delta-E by ~1.6e-2 absolute but measured 24-seed
-      final quality is parity-clean (tools/parity_check.py --conv-precision
+      perturbs the mean Delta-E by ~0.2-0.7% relative (hardware-measured;
+      scales with the deltaE magnitude) but measured 24-seed final quality
+      is parity-clean (tools/parity_check.py --conv-precision
       bf16), while it cuts the fused kernel's MAC-bound MXU time 3x
       (10.2 -> 6.0 ms at 4K/pop4, docs/PERFORMANCE.md round 2). "" (default)
       follows `precision`. The assignment scores stay at `precision` — THEY

@@ -47,7 +47,7 @@ def _scores(
     distance comparison in true f32 — the TPU default would run the MXU in
     bf16, which can flip assignments between nearby palette colors (the
     reference computes f32 distances, OptimizedConvolution.cl:155). "f32x3"
-    is the 3-pass hi/lo bf16 split (|err| ~1e-7, 2x faster on the MXU);
+    is the 3-pass hi/lo bf16 split (|err| ~1e-6, 2x faster on the MXU);
     "bf16" is the 1-pass fast mode.
     """
     if precision == "highest":
@@ -146,7 +146,7 @@ def lloyd_step(
 
     use_pallas routes the assignment through the Pallas index kernel at
     f32x3 (the jnp HIGHEST path costs ~6x in MXU passes; polish is a
-    beyond-reference stage, so ~1e-7 score error is irrelevant). Only
+    beyond-reference stage, so ~1e-6 score error is irrelevant). Only
     enable it from single-image TPU entry points — pallas_call has no
     GSPMD partitioning rule, so it must NOT be reached under a vmapped
     sharded jit (the batch engine keeps the jnp path). `x4` optionally

@@ -41,7 +41,7 @@ per member — everything else stays in VMEM.
 
 Precision modes (matmuls): "highest" (f32, 6 bf16 MXU passes), "f32x3"
 (hi/lo bf16 split, 3 passes), "bf16" (1 pass, fast). NOTE the effective
-f32x3 precision of THIS kernel is ~1e-5 relative, not the ~1e-7 of the
+f32x3 precision of THIS kernel is ~1e-5 relative, not the ~1e-6 of the
 standalone f32x3 matmul: the horizontal-pass intermediate is stored as
 bf16 hi/lo scratch pairs (t7a/t7b, ~2^-16 relative representation) rather
 than f32, so the vertical pass inherits that quantization. The conv feeds

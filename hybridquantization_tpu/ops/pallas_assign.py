@@ -32,9 +32,12 @@ block, not per (member, block)), the block default is large, and the scores
 precision is selectable:
 
   "highest"  true f32 (6 bf16 MXU passes) — bit-matches the jnp/XLA path
-  "f32x3"    hi/lo bf16 split, 3 passes — |error| ~1e-7 on [0,1] data,
-             ~2x faster; the default (assignment flips only on score gaps
-             < ~1e-7, quality-neutral; see tests/test_pallas_assign)
+  "f32x3"    hi/lo bf16 split, 3 passes — |error| ~2^-18 |s| (~1e-6 on
+             [0,1] data; the dropped cl*xl term), ~2x faster; the default
+             (assignment flips only on score gaps below that — measured
+             on hardware: 27/65536 pixels at K=256 random, and 24-seed
+             quality parity gap 0.01%; see tests/test_tpu_hw.py and
+             tests/test_pallas_assign)
   "bf16"     1 pass, fast mode — flips ~0.7% of assignments (measured)
 
 The winner gather stays exact in every mode: the one-hot is exactly

@@ -52,8 +52,14 @@ def test_first_index_ties_on_hardware(rng):
     )
     opp = np.asarray(opp)
     # winners for the tied pixels must be the FIRST duplicate (2 and 0)
-    np.testing.assert_allclose(opp[:, :16], pal[2][:, None], atol=0)
-    np.testing.assert_allclose(opp[:, 16:32], pal[0][:, None], atol=0)
+    # (broadcast the expectation explicitly: numpy's assert_allclose
+    # rejects (3, 16) vs (3, 1) as a shape mismatch)
+    np.testing.assert_allclose(
+        opp[:, :16], np.broadcast_to(pal[2][:, None], (3, 16)), atol=0
+    )
+    np.testing.assert_allclose(
+        opp[:, 16:32], np.broadcast_to(pal[0][:, None], (3, 16)), atol=0
+    )
     usage = np.asarray(usage)
     assert usage[2] and usage[0]
     assert not usage[5] and not usage[7]
@@ -61,8 +67,12 @@ def test_first_index_ties_on_hardware(rng):
 
 def test_f32x3_scores_error_bound(rng):
     """f32x3 hi/lo-split scores vs true-f32 (highest) on hardware: winner
-    colors may differ only where the two best scores are within the
-    documented ~1e-7 split error — measured here as a flip-rate bound."""
+    colors may differ only where the two best scores are within the split
+    error. The dropped cl*xl term is ~2^-18 * |s| ~= 4e-6 on [0,1] data
+    (NOT 1e-7 — round-3 hardware measurement: 27/65536 flips at K=256,
+    exactly the ~2e-6-band prediction for this gap distribution), so the
+    flip-rate bound is 1e-3. Quality impact is separately bounded by the
+    24-seed parity PASS (gap 0.01%, docs/PERFORMANCE.md)."""
     P, K = 1 << 16, 256
     feats = rng.random((P, 3)).astype(np.float32)
     pal = rng.random((K, 3)).astype(np.float32)
@@ -75,8 +85,7 @@ def test_f32x3_scores_error_bound(rng):
         precision="f32x3",
     )
     flips = int((np.asarray(opp_hi) != np.asarray(opp_f3)).any(axis=0).sum())
-    # random continuous data: score gaps < 1e-7 are vanishingly rare
-    assert flips <= P * 1e-4, f"{flips}/{P} pixels flipped (f32x3 vs highest)"
+    assert flips <= P * 1e-3, f"{flips}/{P} pixels flipped (f32x3 vs highest)"
 
 
 @pytest.mark.parametrize("de", ["CIE76", "CIE94", "CIEDE2000"])
@@ -107,8 +116,13 @@ def test_fused_kernel_matches_xla_path_on_hardware(rng, de):
 
 
 def test_conv_precision_bf16_close_on_hardware(rng):
-    """bf16 conv (the benched mode) stays within its documented ~1.6e-2
-    absolute fitness perturbation of the f32x3 conv on hardware."""
+    """bf16 conv (the benched mode) stays within ~1% RELATIVE fitness
+    perturbation of the f32x3 conv on hardware. (Round-3 measurement:
+    0.24-0.65% relative on this image; the round-2 "~1.6e-2 absolute"
+    figure was specific to the 4K ~deltaE-5 workload — the perturbation
+    scales with the deltaE magnitude, so the contract is relative.
+    Quality impact is separately bounded by the 24-seed parity PASS with
+    conv_precision=bf16, gap 0.87%.)"""
     from hybridquantization_tpu.pipeline import (
         _make_context,
         make_population_fitness,
@@ -128,7 +142,7 @@ def test_conv_precision_bf16_close_on_hardware(rng):
             make_population_fitness(ctx, cfg, q.filters.half_width)
         )(pals)
         errs[conv_prec] = np.asarray(e)
-    np.testing.assert_allclose(errs["bf16"], errs["f32x3"], atol=5e-2)
+    np.testing.assert_allclose(errs["bf16"], errs["f32x3"], rtol=2e-2)
 
 
 def test_fast_sharded_path_on_hardware(rng):

@@ -161,10 +161,32 @@ def main() -> int:
         return pal_o, time.time() - t0
 
     if args.oracle_jobs > 1:
+        # fork Processes, not Pool: Pool pickles the task callable (fails
+        # on this closure); fork Process inherits it directly. Workers are
+        # pure NumPy — they never touch jax.
         import multiprocessing as mp
 
-        with mp.get_context("fork").Pool(args.oracle_jobs) as pool:
-            results = pool.map(oracle_seed, range(args.seeds))
+        ctx_mp = mp.get_context("fork")
+        q = ctx_mp.Queue()
+
+        def worker(seed_list):
+            for s in seed_list:
+                q.put((s, oracle_seed(s)))
+
+        chunks = [
+            list(range(args.seeds))[j :: args.oracle_jobs]
+            for j in range(args.oracle_jobs)
+        ]
+        procs = [
+            ctx_mp.Process(target=worker, args=(c,), daemon=True)
+            for c in chunks if c
+        ]
+        for p in procs:
+            p.start()
+        got = dict(q.get() for _ in range(args.seeds))
+        for p in procs:
+            p.join()
+        results = [got[s] for s in range(args.seeds)]
     else:
         results = [oracle_seed(s) for s in range(args.seeds)]
     for s, (pal_o, dt) in enumerate(results):
