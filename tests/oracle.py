@@ -47,32 +47,44 @@ M_OPP2XYZ = np.array(
 )
 
 
+def _wdtype(x):
+    """Working dtype: float32 stays float32 (the reference's active OpenCL
+    path computes in `float`, OptimizedConvolution.cl); everything else is
+    promoted to float64 (the definitional judge precision)."""
+    x = np.asarray(x)
+    return np.float32 if x.dtype == np.float32 else np.float64
+
+
 def srgb_to_linear(c):
-    c = np.asarray(c, np.float64)
+    c = np.asarray(c, _wdtype(c))
     return np.where(c <= 0.04045, c / 12.92, ((np.maximum(c, 0) + 0.055) / 1.055) ** 2.4)
 
 
 def linear_to_srgb(c):
-    c = np.asarray(c, np.float64)
+    c = np.asarray(c, _wdtype(c))
     return np.where(
         c <= 0.0031308, 12.92 * c, 1.055 * np.maximum(c, 1e-12) ** (1 / 2.4) - 0.055
     )
 
 
 def srgb_to_xyz(srgb):
-    return srgb_to_linear(srgb) @ M_SRGB2XYZ.T
+    lin = srgb_to_linear(srgb)
+    return lin @ M_SRGB2XYZ.T.astype(lin.dtype)
 
 
 def xyz_to_opp(xyz):
-    return np.asarray(xyz) @ M_XYZ2OPP.T
+    xyz = np.asarray(xyz, _wdtype(xyz))
+    return xyz @ M_XYZ2OPP.T.astype(xyz.dtype)
 
 
 def opp_to_xyz(opp):
-    return np.asarray(opp) @ M_OPP2XYZ.T
+    opp = np.asarray(opp, _wdtype(opp))
+    return opp @ M_OPP2XYZ.T.astype(opp.dtype)
 
 
 def xyz_to_lab(xyz, wp=D65):
-    t = np.asarray(xyz) / wp
+    xyz = np.asarray(xyz, _wdtype(xyz))
+    t = xyz / wp.astype(xyz.dtype)
     d3 = (6 / 29) ** 3
     kappa = 24389 / 27
     f = np.where(t > d3, np.cbrt(t), (kappa * t + 16) / 116)
@@ -81,11 +93,28 @@ def xyz_to_lab(xyz, wp=D65):
 
 
 def opp_to_lab(opp, wp=D65):
+    opp = np.asarray(opp, _wdtype(opp))
+    if opp.dtype == np.float32:
+        # Fused fast path: fold the whitepoint normalization into the
+        # Opp->XYZ matrix (one GEMM straight to t = XYZ/wp, no divide pass).
+        m = (M_OPP2XYZ / wp[:, None]).T.astype(np.float32)
+        t = opp @ m
+        d3 = np.float32((6 / 29) ** 3)
+        f = np.where(
+            t > d3,
+            np.cbrt(t),
+            t * np.float32(24389 / 27 / 116) + np.float32(16 / 116),
+        )
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        return np.stack([116 * fy - 16, 500 * (fx - fy), 200 * (fy - fz)], axis=-1)
     return xyz_to_lab(opp_to_xyz(opp), wp)
 
 
 def delta_e76(lab1, lab2):
-    return np.linalg.norm(np.asarray(lab1) - np.asarray(lab2), axis=-1)
+    d = np.asarray(lab1) - np.asarray(lab2)
+    if d.dtype == np.float32:  # einsum avoids the abs/temporary passes
+        return np.sqrt(np.einsum("...c,...c->...", d, d))
+    return np.linalg.norm(d, axis=-1)
 
 
 # -- filter bank ------------------------------------------------------------
@@ -179,16 +208,17 @@ def _fft_len(n: int) -> int:
 _TRANSFER_CACHE: dict = {}
 
 
-def _channel_transfer(ofilters, abs_k3, Hf, Wf):
+def _channel_transfer(ofilters, abs_k3, Hf, Wf, dtype=np.float64):
     """(3, Hf, Wf//2+1) combined per-channel transfer functions.
 
     Each channel's filter is a sum of separable outer products kv_j x kh_j
     (the luminance channel's third component uses |k3| vertically); all
     components fold into ONE circular-convolution transfer function per
     channel. The component Gaussians are symmetric, so correlation equals
-    convolution.
+    convolution. Always built in f64, then cast to the working complex
+    dtype (complex64 for the float32 search mode).
     """
-    key = (Hf, Wf, abs_k3.tobytes(),
+    key = (Hf, Wf, np.dtype(dtype).str, abs_k3.tobytes(),
            tuple(k.tobytes() for comps in ofilters for k in comps))
     hit = _TRANSFER_CACHE.get(key)
     if hit is not None:
@@ -206,6 +236,8 @@ def _channel_transfer(ofilters, abs_k3, Hf, Wf):
             cols = (np.arange(width) - half) % Wf
             ker[np.ix_(rows, cols)] += block
         tf[c] = np.fft.rfft2(ker)
+    if np.dtype(dtype) == np.float32:
+        tf = tf.astype(np.complex64)
     _TRANSFER_CACHE[key] = tf
     return tf
 
@@ -220,17 +252,22 @@ def scielab_filter(opp_hwc, ofilters, abs_k3):
     equals the direct form to FFT rounding (~1e-12). One forward + one
     inverse transform per channel replaces 14 spatial passes.
     """
+    from scipy import fft as sfft  # preserves float32 (np.fft upcasts)
+
+    opp_hwc = np.asarray(opp_hwc, _wdtype(opp_hwc))
     H, W, _ = opp_hwc.shape
     half = len(abs_k3) // 2
     Hf, Wf = _fft_len(H + 2 * half), _fft_len(W + 2 * half)
-    tf = _channel_transfer(ofilters, abs_k3, Hf, Wf)
+    tf = _channel_transfer(ofilters, abs_k3, Hf, Wf, opp_hwc.dtype)
     xpad = np.pad(opp_hwc, ((half, half), (half, half), (0, 0)), mode="symmetric")
-    out = np.empty_like(opp_hwc)
-    for c in range(3):
-        spec = np.fft.rfft2(xpad[..., c], s=(Hf, Wf))
-        y = np.fft.irfft2(spec * tf[c], s=(Hf, Wf))
-        out[..., c] = y[half : half + H, half : half + W]
-    return out
+    # One batched transform over the 3 channels (channel-first layout);
+    # the result is materialized contiguous — downstream pointwise chains
+    # on a moveaxis view are ~10x slower.
+    spec = sfft.rfft2(np.ascontiguousarray(np.moveaxis(xpad, -1, 0)), s=(Hf, Wf))
+    y = sfft.irfft2(spec * tf, s=(Hf, Wf))
+    return np.ascontiguousarray(
+        np.moveaxis(y[:, half : half + H, half : half + W], 0, -1)
+    )
 
 
 def srgb_to_scielab(image_hwc, ofilters, abs_k3, wp=D65):
@@ -245,17 +282,36 @@ def nearest_palette(pixels, palette, chunk=1 << 17):
 
     argmin_k ||p - c_k||^2 == argmax_k (p.c_k - |c_k|^2/2); np.argmax keeps
     the first index on ties like the reference's strict-less scan. Chunked
-    so the (P, K) score matrix never exceeds ~64 MB.
+    so the (P, K) score matrix never exceeds ~64 MB. Runs in float32 when
+    both inputs are float32 (the search mode), float64 otherwise.
     """
-    pixels = np.asarray(pixels, np.float64)
-    palette = np.asarray(palette, np.float64)
-    bias = 0.5 * np.einsum("kc,kc->k", palette, palette)
+    dt = np.float32 if (
+        np.asarray(pixels).dtype == np.float32
+        and np.asarray(palette).dtype == np.float32
+    ) else np.float64
+    pixels = np.asarray(pixels, dt)
+    palette = np.asarray(palette, dt)
+    aug = _augmented_palette(palette)
     out = np.empty(len(pixels), np.int64)
+    pix_aug = np.empty((min(chunk, len(pixels)), 4), dt)
+    pix_aug[:, 3] = 1.0
     for i in range(0, len(pixels), chunk):
-        s = pixels[i : i + chunk] @ palette.T
-        s -= bias
-        out[i : i + chunk] = np.argmax(s, axis=1)
+        n = min(chunk, len(pixels) - i)
+        pix_aug[:n, :3] = pixels[i : i + n]
+        s = pix_aug[:n] @ aug.T
+        out[i : i + n] = np.argmax(s, axis=1)
     return out
+
+
+def _augmented_palette(flat):
+    """(K, 4) palette with the -|c|^2/2 bias folded in as a 4th column, so
+    one GEMM against [pixels | 1] yields biased scores with no extra
+    subtraction pass. Shared by nearest_palette and fitness_population so
+    both compute bit-identical scores."""
+    aug = np.empty((len(flat), 4), flat.dtype)
+    aug[:, :3] = flat
+    aug[:, 3] = -0.5 * np.einsum("kc,kc->k", flat, flat)
+    return aug
 
 
 def fitness(image_hwc, target_lab, palette, ofilters, abs_k3, delta=2.0, wp=D65):
@@ -270,6 +326,67 @@ def fitness(image_hwc, target_lab, palette, ofilters, abs_k3, delta=2.0, wp=D65)
     q_opp = opp_palette[idx].reshape(H, W, 3)
     q_lab = opp_to_lab(scielab_filter(q_opp, ofilters, abs_k3), wp)
     return delta_e76(target_lab, q_lab).mean() + delta * (~used).sum()
+
+
+def fitness_population(
+    image_hwc, target_lab, palettes, ofilters, abs_k3, delta=2.0, wp=D65
+):
+    """All population members' fitness in one batched pass.
+
+    Bit-identical math to `[fitness(..., p, ...) for p in palettes]` (same
+    chunked matmul-argmax per member, same per-channel transfer functions;
+    the FFT batches over pop*3 channels, and pocketfft evaluates batch
+    members independently) — just fewer Python/FFT-plan round-trips, which
+    is what the config-2-scale oracle run is bound by.
+    """
+    from scipy import fft as sfft
+
+    palettes = np.asarray(palettes)
+    pop, K, _ = palettes.shape
+    image_hwc = np.asarray(image_hwc)
+    H, W, _ = image_hwc.shape
+    dt = np.float32 if (
+        image_hwc.dtype == np.float32 and palettes.dtype == np.float32
+    ) else np.float64
+
+    # One (P, pop*K) score pass, argmax within each member's K-block
+    # (identical per-member first-index semantics: the reshape keeps each
+    # member's K scores contiguous and np.argmax scans them in order).
+    pixels = image_hwc.reshape(-1, 3).astype(dt)
+    flat = palettes.reshape(pop * K, 3).astype(dt)
+    aug = _augmented_palette(flat)
+    idx = np.empty((len(pixels), pop), np.int64)
+    chunk = max((1 << 23) // max(pop * K, 1), 1024)
+    pix_aug = np.empty((chunk, 4), dt)
+    pix_aug[:, 3] = 1.0
+    for i in range(0, len(pixels), chunk):
+        n = min(chunk, len(pixels) - i)
+        pix_aug[:n, :3] = pixels[i : i + n]
+        s = pix_aug[:n] @ aug.T
+        idx[i : i + n] = np.argmax(s.reshape(n, pop, K), axis=2)
+    used = np.zeros((pop, K), bool)
+    for m in range(pop):
+        used[m, idx[:, m]] = True
+
+    opp_pal = xyz_to_opp(srgb_to_xyz(palettes.astype(dt)))  # (pop, K, 3)
+    # (pop, H, W, 3) gathered quantized opponent images.
+    q_opp = opp_pal[np.arange(pop)[:, None], idx.T].reshape(pop, H, W, 3)
+
+    half = len(abs_k3) // 2
+    Hf, Wf = _fft_len(H + 2 * half), _fft_len(W + 2 * half)
+    tf = _channel_transfer(ofilters, abs_k3, Hf, Wf, dt)
+    xpad = np.pad(
+        np.moveaxis(q_opp, -1, 1), ((0, 0), (0, 0), (half, half), (half, half)),
+        mode="symmetric",
+    )  # (pop, 3, H+2h, W+2h)
+    spec = sfft.rfft2(xpad, s=(Hf, Wf))
+    y = sfft.irfft2(spec * tf[None], s=(Hf, Wf))
+    filt = np.ascontiguousarray(
+        np.moveaxis(y[:, :, half : half + H, half : half + W], 1, -1)
+    )
+    q_lab = opp_to_lab(filt, wp)  # (pop, H, W, 3)
+    de = delta_e76(target_lab[None], q_lab).reshape(pop, -1).mean(axis=1)
+    return de + delta * (~used).sum(axis=1)
 
 
 # -- the full SWASA loop (reference semantics, NumPy RNG) -------------------
@@ -291,30 +408,47 @@ def swasa_search(
     beta=5.3,
     dpi=72,
     dist_cm=45.0,
+    dtype=np.float64,
+    progress=None,
 ):
     """Faithful mirror of findBestQuantization (ImageManipulation.java:383-591)
-    + SWASA.java, with an explicit NumPy RNG instead of icy.util.Random."""
+    + SWASA.java, with an explicit NumPy RNG instead of icy.util.Random.
+
+    dtype: working precision of the search. float64 is the definitional
+    judge precision; float32 matches the reference's active OpenCL path
+    (every device buffer in OptimizedConvolution.cl is `float`) and is ~2x
+    faster — used for the config-2-scale parity run. RNG draws are always
+    float64 (matching Java's double-valued Random) and the proposal clip
+    happens in float64 before casting, so the two modes walk the same
+    stochastic process and differ only in fitness-evaluation rounding.
+    """
     rng = np.random.default_rng(seed)
+    image_hwc = np.asarray(image_hwc, dtype)
     ofilters, abs_k3, _ = build_filters(dpi, dist_cm)
     target = srgb_to_scielab(image_hwc, ofilters, abs_k3)
 
-    def fit(pal):
-        return fitness(image_hwc, target, pal, ofilters, abs_k3, delta=delta)
+    def fit_pop(pals):
+        return fitness_population(
+            image_hwc, target, pals, ofilters, abs_k3, delta=delta
+        )
 
-    colors = rng.random((population, num_colors, 3))
-    current = np.array([fit(c) for c in colors])
+    colors = rng.random((population, num_colors, 3)).astype(dtype)
+    current = np.asarray(fit_pop(colors), np.float64)
     best_i = current.argmin()
     best_err, best_colors = current[best_i], colors[best_i].copy()
     temperature = t0
 
     for ite in range(1, imax + 1):
+        if progress is not None and ite % 100 == 0:
+            progress(ite)
         if ite % i_tc == 0:
             temperature *= alpha
         step = 2 * s0 / (1 + np.exp(beta * ite / imax)) / 256.0
         proposals = np.clip(
-            colors + rng.uniform(-1, 1, colors.shape) * step, 0, 1
-        )
-        errors = np.array([fit(p) for p in proposals])
+            colors.astype(np.float64) + rng.uniform(-1, 1, colors.shape) * step,
+            0, 1,
+        ).astype(dtype)
+        errors = np.asarray(fit_pop(proposals), np.float64)
 
         min_idx = errors.argmin()
         for i in range(population):

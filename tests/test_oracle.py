@@ -50,6 +50,40 @@ def test_nearest_first_minimum_ties():
     np.testing.assert_array_equal(got, [0, 0, 1])
 
 
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_fitness_population_equals_per_member(rng, dtype):
+    """The batched population fitness is bit-identical to evaluating each
+    member through `fitness` (same GEMM formulation, same per-channel FFT
+    batching) — in both the f64 judge precision and the f32 search mode."""
+    ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
+    img = rng.random((40, 56, 3)).astype(dtype)
+    target = oracle.srgb_to_scielab(img, ofilters, abs_k3)
+    pals = rng.random((4, 7, 3)).astype(dtype)
+    # member 2 duplicates member 0's first entry -> exercises ties
+    pals[2, 1] = pals[2, 0]
+    per = np.array(
+        [oracle.fitness(img, target, p, ofilters, abs_k3) for p in pals]
+    )
+    bat = oracle.fitness_population(img, target, pals, ofilters, abs_k3)
+    np.testing.assert_array_equal(bat, per)
+
+
+def test_f32_search_mode_tracks_f64(rng):
+    """The float32 oracle search (the reference's OpenCL `float` precision)
+    stays within a tiny fraction of the 1% parity budget of the f64 path."""
+    ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
+    img = rng.random((32, 32, 3))
+    t64 = oracle.srgb_to_scielab(img, ofilters, abs_k3)
+    t32 = oracle.srgb_to_scielab(img.astype(np.float32), ofilters, abs_k3)
+    np.testing.assert_allclose(t32, t64, atol=2e-3)
+    pal = rng.random((8, 3))
+    f64 = oracle.fitness(img, t64, pal, ofilters, abs_k3)
+    f32 = oracle.fitness(
+        img.astype(np.float32), t32, pal.astype(np.float32), ofilters, abs_k3
+    )
+    assert abs(f32 - f64) / f64 < 1e-4
+
+
 def test_fitness_palette_side_conversion_matches_per_pixel(rng):
     """The palette-gather Opp shortcut equals running the full per-pixel
     chain on the quantized image."""

@@ -59,10 +59,18 @@ def main() -> int:
     ap.add_argument("--tolerance", type=float, default=0.01, help="relative gap for PASS")
     ap.add_argument(
         "--oracle-jobs", type=int, default=1,
-        help="run the oracle seeds in N parallel processes (the engine "
-        "seeds always run first, sequentially — one TPU). Use for the "
-        "config-2-scale check (--size 1024 --colors 64), where one oracle "
-        "seed is ~an hour of NumPy",
+        help="run the oracle seeds in N parallel processes, launched "
+        "BEFORE the engine seeds (the engine mostly waits on the TPU, so "
+        "the overlap is nearly free). Use for the config-2-scale check "
+        "(--size 1024 --colors 64), where one oracle seed is ~30-60 min "
+        "of NumPy",
+    )
+    ap.add_argument(
+        "--oracle-dtype", default="f64", choices=["f64", "f32"],
+        help="oracle SEARCH precision (the judge is always f64). f32 "
+        "matches the reference's active OpenCL path (every device buffer "
+        "in OptimizedConvolution.cl is `float`) and runs ~2x faster — "
+        "use for the config-2-scale check",
     )
     ap.add_argument("--precision", default="f32x3", choices=["highest", "f32x3", "bf16"])
     ap.add_argument("--tie-mode", default="first", choices=["first", "average"])
@@ -92,13 +100,6 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    import jax
-
-    from hybridquantization_tpu import (
-        HybridQuantizer,
-        QuantizationConfig,
-        SWASAConfig,
-    )
     from tests import oracle
 
     if args.image:
@@ -108,19 +109,11 @@ def main() -> int:
     else:
         img = make_test_image(args.size, np.random.default_rng(0))
 
-    cfg = QuantizationConfig(
-        swasa=SWASAConfig(
-            num_colors=args.colors, population=args.population, imax=args.imax
-        ),
-        precision=args.precision,
-        tie_mode=args.tie_mode,
-        conv_precision=args.conv_precision,
-    )
     print(
         f"engine precision={args.precision} tie_mode={args.tie_mode} "
-        f"conv_precision={args.conv_precision or args.precision}"
+        f"conv_precision={args.conv_precision or args.precision} "
+        f"oracle_dtype={args.oracle_dtype}"
     )
-    engine = HybridQuantizer(cfg)
     ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
     target = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
 
@@ -135,7 +128,80 @@ def main() -> int:
         mse = float(((q - img) ** 2).mean())
         return de, mse
 
+    odtype = np.float32 if args.oracle_dtype == "f32" else np.float64
+
+    def oracle_seed(s):
+        t0 = time.time()
+
+        def progress(ite):
+            print(
+                f"[oracle] seed {s}: iter {ite}/{args.imax} "
+                f"({time.time() - t0:.0f}s)", flush=True,
+            )
+
+        pal_o, _ = oracle.swasa_search(
+            img.astype(odtype),
+            args.colors,
+            seed=s,
+            population=args.population,
+            imax=args.imax,
+            progress=progress,
+        )
+        return pal_o, time.time() - t0
+
     ours_de, ours_mse, oracle_de, oracle_mse = [], [], [], []
+    procs, q = [], None
+    if args.oracle_jobs > 1:
+        # fork Processes, not Pool: Pool pickles the task callable (fails
+        # on this closure); fork Process inherits it directly. Workers are
+        # pure NumPy — they never touch jax. Launched BEFORE the engine
+        # seeds: the engine mostly blocks on the TPU. Each worker judges
+        # its own seeds (f64 quality) and streams results so a partial
+        # log still yields per-seed values.
+        import multiprocessing as mp
+
+        ctx_mp = mp.get_context("fork")
+        q = ctx_mp.Queue()
+
+        def worker(seed_list):
+            for s in seed_list:
+                pal_o, dt = oracle_seed(s)
+                de, mse = quality(np.asarray(pal_o, np.float64))
+                q.put((s, de, mse, dt))
+
+        chunks = [
+            list(range(args.seeds))[j :: args.oracle_jobs]
+            for j in range(args.oracle_jobs)
+        ]
+        procs = [
+            ctx_mp.Process(target=worker, args=(c,), daemon=True)
+            for c in chunks if c
+        ]
+        for p in procs:
+            p.start()
+
+    # jax only touched AFTER the oracle workers forked: forking a process
+    # whose TPU client threads hold locks can deadlock the children.
+    import jax
+
+    from hybridquantization_tpu import (
+        HybridQuantizer,
+        QuantizationConfig,
+        SWASAConfig,
+    )
+    from hybridquantization_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(
+            num_colors=args.colors, population=args.population, imax=args.imax
+        ),
+        precision=args.precision,
+        tie_mode=args.tie_mode,
+        conv_precision=args.conv_precision,
+    )
+    engine = HybridQuantizer(cfg)
+
     for s in range(args.seeds):
         t0 = time.time()
         pal, info = engine.find_palette(
@@ -149,54 +215,27 @@ def main() -> int:
             f"({time.time() - t0:.1f}s)", flush=True,
         )
 
-    def oracle_seed(s):
-        t0 = time.time()
-        pal_o, _ = oracle.swasa_search(
-            img.astype(np.float64),
-            args.colors,
-            seed=s,
-            population=args.population,
-            imax=args.imax,
-        )
-        return pal_o, time.time() - t0
-
-    if args.oracle_jobs > 1:
-        # fork Processes, not Pool: Pool pickles the task callable (fails
-        # on this closure); fork Process inherits it directly. Workers are
-        # pure NumPy — they never touch jax.
-        import multiprocessing as mp
-
-        ctx_mp = mp.get_context("fork")
-        q = ctx_mp.Queue()
-
-        def worker(seed_list):
-            for s in seed_list:
-                q.put((s, oracle_seed(s)))
-
-        chunks = [
-            list(range(args.seeds))[j :: args.oracle_jobs]
-            for j in range(args.oracle_jobs)
-        ]
-        procs = [
-            ctx_mp.Process(target=worker, args=(c,), daemon=True)
-            for c in chunks if c
-        ]
-        for p in procs:
-            p.start()
-        got = dict(q.get() for _ in range(args.seeds))
+    if procs:
+        for _ in range(args.seeds):
+            s, de, mse, dt = q.get()
+            oracle_de.append(de)
+            oracle_mse.append(mse)
+            print(
+                f"[oracle] seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
+                f"({dt:.1f}s)", flush=True,
+            )
         for p in procs:
             p.join()
-        results = [got[s] for s in range(args.seeds)]
     else:
-        results = [oracle_seed(s) for s in range(args.seeds)]
-    for s, (pal_o, dt) in enumerate(results):
-        de, mse = quality(pal_o)
-        oracle_de.append(de)
-        oracle_mse.append(mse)
-        print(
-            f"[oracle] seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
-            f"({dt:.1f}s)", flush=True,
-        )
+        for s in range(args.seeds):
+            pal_o, dt = oracle_seed(s)
+            de, mse = quality(np.asarray(pal_o, np.float64))
+            oracle_de.append(de)
+            oracle_mse.append(mse)
+            print(
+                f"[oracle] seed {s}: deltaE {de:.4f}  mse {mse:.6f}  "
+                f"({dt:.1f}s)", flush=True,
+            )
 
     m_ours, m_oracle = np.mean(ours_de), np.mean(oracle_de)
     gap_de = abs(m_ours - m_oracle) / m_oracle
