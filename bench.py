@@ -59,6 +59,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from hybridquantization_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()  # repeat bench runs skip the ~min-long
+    # remote compiles (same persistent cache the CLI uses)
+
     from hybridquantization_tpu import QuantizationConfig, SWASAConfig
     from hybridquantization_tpu.ops import assign as assign_ops
     from hybridquantization_tpu.ops import pallas_assign as pa
