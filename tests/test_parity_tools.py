@@ -1,0 +1,71 @@
+"""Unit tests for the layer-3 parity report tool (tools/parity_report.py).
+
+The verdict logic gates the config-2 parity claim, so its three branches
+(PASS / INCONCLUSIVE-within-noise / FAIL-beyond-noise) are pinned here
+with hand-built JSONL inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write(tmp_path, name, des, cfg=None):
+    cfg = cfg or {"size": 64, "colors": 8, "imax": 100, "population": 4}
+    p = tmp_path / name
+    with open(p, "w") as f:
+        for i, de in enumerate(des):
+            f.write(json.dumps({"seed": i, "deltaE": de, "mse": de / 100,
+                                **cfg}) + "\n")
+    return str(p)
+
+
+def _run(engine, oracle, tol=0.01):
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "parity_report.py"),
+         "--engine", engine, "--oracle", oracle, "--tolerance", str(tol)],
+        capture_output=True, text=True,
+    )
+    return r.returncode, r.stdout
+
+
+def test_pass_when_gap_inside_tolerance(tmp_path):
+    rng = np.random.default_rng(0)
+    base = 10 + 0.3 * rng.standard_normal(24)
+    e = _write(tmp_path, "e.jsonl", list(base))
+    o = _write(tmp_path, "o.jsonl", list(base + 0.01))  # 0.1% gap
+    rc, out = _run(e, o)
+    assert rc == 0 and "PARITY: PASS" in out
+
+
+def test_inconclusive_when_gap_within_noise_of_tolerance(tmp_path):
+    # 2 seeds/side, large std: gap ~2% but noise >> distance to 1%
+    e = _write(tmp_path, "e.jsonl", [10.0, 10.8])
+    o = _write(tmp_path, "o.jsonl", [10.4, 10.9])
+    rc, out = _run(e, o)
+    assert rc == 1 and "INCONCLUSIVE" in out
+    assert "resume" in out or "add seeds" in out
+
+
+def test_fail_when_gap_beyond_noise(tmp_path):
+    rng = np.random.default_rng(1)
+    base = 10 + 0.01 * rng.standard_normal(24)
+    e = _write(tmp_path, "e.jsonl", list(base))
+    o = _write(tmp_path, "o.jsonl", list(base * 1.10))  # 10% gap, tiny noise
+    rc, out = _run(e, o)
+    assert rc == 1 and "PARITY: FAIL" in out
+
+
+def test_mixed_config_warns(tmp_path):
+    e = _write(tmp_path, "e.jsonl", [10.0, 10.1])
+    o = _write(tmp_path, "o.jsonl", [10.0, 10.1],
+               cfg={"size": 128, "colors": 8, "imax": 100, "population": 4})
+    _rc, out = _run(e, o)
+    assert "mixed configs" in out
