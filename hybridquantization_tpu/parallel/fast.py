@@ -125,6 +125,13 @@ def make_fast_fitness(
     wp_tuple = tuple(float(v) for v in jnp.asarray(whitepoint).tolist())
     lab_assign = cfg.assignment_space == "lab"
     n_local_pix = Hp * Ws
+    # At one pixel shard there are no neighbors: the R-folded mirror
+    # matrices handle both column edges exactly as the single-chip kernel
+    # does, so skip the slab materialization (two reversed-edge copies per
+    # eval) and run edges="mirror". This makes the 1-shard engine degenerate
+    # to the single-chip formulation (VERDICT r03: the 13% 1-shard overhead
+    # deflated every multi-chip scaling denominator).
+    use_slabs = n_pixel > 1
 
     def member_eval(pal_feat, opp_pal):
         """One member's (local-sums, local-usage) -> one fused psum."""
@@ -184,28 +191,43 @@ def make_fast_fitness(
         usage = lax.psum(usage_l.astype(jnp.int32), axis_name) > 0
 
         q = opp.reshape(pop, 3, Hp, Ws)
-        # Column guards: one 128-column slab to each neighbor over ICI (true
-        # image edges mirror locally); rows need nothing — the kernel folds
-        # the row reflection into its band matrices (edges docstring).
-        left, right = _column_guards(q, n_pixel, axis_name)
-
         i = lax.axis_index(axis_name)
         w_valid = jnp.clip(W - i * Ws, 0, Ws)
         hw = jnp.stack([jnp.int32(H), w_valid.astype(jnp.int32)])
-        sums = ff.fused_scielab_err_sums(
-            q, target_local, mats_h, mats_v, wp_tuple,
-            hw=hw, deltaE=cfg.deltaE,
-            precision=cfg.conv_precision or cfg.precision,
-            interpret=interpret, edges="slabs",
-            left_slab=left, right_slab=right,
-        )
+        if use_slabs:
+            # Column guards: one 128-column slab to each neighbor over ICI
+            # (true image edges mirror locally); rows need nothing — the
+            # kernel folds the row reflection into its band matrices.
+            left, right = _column_guards(q, n_pixel, axis_name)
+            sums = ff.fused_scielab_err_sums(
+                q, target_local, mats_h, mats_v, wp_tuple,
+                hw=hw, deltaE=cfg.deltaE,
+                precision=cfg.conv_precision or cfg.precision,
+                interpret=interpret, edges="slabs",
+                left_slab=left, right_slab=right,
+            )
+        else:
+            sums = ff.fused_scielab_err_sums(
+                q, target_local, mats_h, mats_v, wp_tuple,
+                hw=hw, deltaE=cfg.deltaE,
+                precision=cfg.conv_precision or cfg.precision,
+                interpret=interpret, edges="mirror",
+            )
         err = lax.psum(sums, axis_name) / (H * W)
         pen = jax.vmap(
             lambda u: schedule.unused_penalty(u, cfg.swasa.delta)
         )(usage)
         return err + pen, usage
 
-    fn = pop_fitness_overlap if cfg.overlap_collectives else pop_fitness
+    # Member-pipelined overlap only pays when there IS a collective to hide
+    # (n_pixel > 1): at one shard the psum is a no-op, and the per-member
+    # kernel calls re-read the packed pixel stream (pop-1) extra times for
+    # nothing (~1.8 ms/eval at 4K).
+    fn = (
+        pop_fitness_overlap
+        if (cfg.overlap_collectives and n_pixel > 1)
+        else pop_fitness
+    )
     fn.is_population = True
     return fn
 

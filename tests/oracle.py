@@ -419,8 +419,12 @@ def swasa_search(
     (every device buffer in OptimizedConvolution.cl is `float`) and is ~2x
     faster — used for the config-2-scale parity run. RNG draws are always
     float64 (matching Java's double-valued Random) and the proposal clip
-    happens in float64 before casting, so the two modes walk the same
-    stochastic process and differ only in fitness-evaluation rounding.
+    happens in float64 before casting, so the two modes consume identical
+    draws only until their first differing acceptance decision: the
+    Metropolis test draws from the RNG only when d > 0, so once fitness
+    rounding flips one accept/reject the RNG streams (and trajectories)
+    diverge. The layer-3 parity comparison is distributional over seeds
+    and does not rely on trajectory alignment (docs/PARITY.md).
     """
     rng = np.random.default_rng(seed)
     image_hwc = np.asarray(image_hwc, dtype)

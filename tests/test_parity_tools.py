@@ -54,6 +54,16 @@ def test_inconclusive_when_gap_within_noise_of_tolerance(tmp_path):
     assert "resume" in out or "add seeds" in out
 
 
+def test_inconclusive_when_small_gap_is_underpowered(tmp_path):
+    # Lucky small gap at n=2/side with ~4% per-seed noise: the measured gap
+    # is inside the tolerance but the 1σ upper bound is not, so PASS must
+    # be withheld (ADVICE r03: PASS was not power-gated).
+    e = _write(tmp_path, "e.jsonl", [10.0, 11.0])
+    o = _write(tmp_path, "o.jsonl", [10.1, 10.95])  # gap ~0.2%, noise ~3.5%
+    rc, out = _run(e, o)
+    assert rc == 1 and "INCONCLUSIVE" in out and "add seeds" in out
+
+
 def test_fail_when_gap_beyond_noise(tmp_path):
     rng = np.random.default_rng(1)
     base = 10 + 0.01 * rng.standard_normal(24)

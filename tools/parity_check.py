@@ -145,6 +145,7 @@ def main() -> int:
             seed=s,
             population=args.population,
             imax=args.imax,
+            dtype=odtype,
             progress=progress,
         )
         return pal_o, time.time() - t0
@@ -216,8 +217,35 @@ def main() -> int:
         )
 
     if procs:
-        for _ in range(args.seeds):
-            s, de, mse, dt = q.get()
+        # Poll with a timeout and check worker liveness: if a forked oracle
+        # worker dies (exception, OOM) mid-run, fail with the seeds collected
+        # so far instead of blocking on q.get() forever.
+        import queue as queue_mod
+
+        pending = args.seeds
+        while pending:
+            try:
+                s, de, mse, dt = q.get(timeout=30.0)
+            except queue_mod.Empty:
+                dead = [p for p in procs if not p.is_alive() and p.exitcode not in (0, None)]
+                if dead and q.empty():
+                    print(
+                        f"ERROR: {len(dead)} oracle worker(s) died "
+                        f"(exitcodes {[p.exitcode for p in dead]}); "
+                        f"continuing with {len(oracle_de)}/{args.seeds} "
+                        "oracle seeds collected",
+                        file=sys.stderr,
+                    )
+                    break
+                if all(not p.is_alive() for p in procs) and q.empty():
+                    print(
+                        f"ERROR: all oracle workers exited with only "
+                        f"{len(oracle_de)}/{args.seeds} seeds delivered",
+                        file=sys.stderr,
+                    )
+                    break
+                continue
+            pending -= 1
             oracle_de.append(de)
             oracle_mse.append(mse)
             print(
@@ -226,6 +254,9 @@ def main() -> int:
             )
         for p in procs:
             p.join()
+        if not oracle_de:
+            print("no oracle seeds collected — cannot compare", file=sys.stderr)
+            return 2
     else:
         for s in range(args.seeds):
             pal_o, dt = oracle_seed(s)

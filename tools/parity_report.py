@@ -66,10 +66,23 @@ def main() -> int:
         verdicts.append((metric, gap, noise))
 
     de_gap, de_noise = verdicts[0][1], verdicts[0][2]
-    if abs(de_gap) <= args.tolerance:
-        print(f"PARITY: PASS (|ΔE gap| {abs(de_gap)*100:.2f}% <= "
-              f"{args.tolerance:.0%})")
+    if abs(de_gap) + de_noise <= args.tolerance:
+        # Power-gated PASS: the 1σ upper bound on the TRUE gap
+        # (|measured gap| + seed noise) must fit inside the tolerance —
+        # otherwise an n=2 run with ~4% noise could report a lucky small
+        # gap and claim a parity the seed budget cannot resolve.
+        print(f"PARITY: PASS (|ΔE gap| {abs(de_gap)*100:.2f}% + 1σ noise "
+              f"{de_noise*100:.2f}% <= {args.tolerance:.0%})")
         return 0
+    if abs(de_gap) <= args.tolerance:
+        print(
+            f"PARITY: INCONCLUSIVE — |gap| {abs(de_gap)*100:.2f}% is within "
+            f"{args.tolerance:.0%} but the 1σ seed noise "
+            f"({de_noise*100:.2f}%) pushes its upper bound past the "
+            "tolerance, so this seed budget cannot resolve a pass; add "
+            "seeds (both runners resume from their JSONL)"
+        )
+        return 1
     if abs(de_gap) - 2 * de_noise <= args.tolerance:
         print(
             f"PARITY: INCONCLUSIVE — |gap| {abs(de_gap)*100:.2f}% exceeds "
