@@ -168,6 +168,7 @@ def main() -> None:
         return jax.device_get(pal), float(jax.device_get(st.best_error))
 
     t_e2e, fit_anneal, e2e_de = float("nan"), float("nan"), float("nan")
+    natural = None
     if on_tpu:
         img2 = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
         e2e_quality_schedule(image, jax.random.PRNGKey(1))  # compile warmup
@@ -178,6 +179,36 @@ def main() -> None:
         # quality of the timed run's output (untimed; the claim's evidence)
         out2 = engine.quantize(img2, jnp.asarray(pal2))
         e2e_de = float(jax.device_get(engine.error_image(img2, out2)[0]))
+
+        # -- content axis: the SAME measurements on a natural-statistics 4K
+        # image (synth.natural_image: 1/f multi-octave value noise). The
+        # uniform-random frame above is the adversarial content class for
+        # any candidate-pruning assignment cut (docs/PERFORMANCE.md round-3
+        # investigation); this row is where a content-dependent win or loss
+        # would show (round-3 VERDICT Missing #4 / Next #3).
+        from hybridquantization_tpu import synth
+
+        nat_img = jnp.asarray(synth.natural_image(H, W, seed=7))
+        ctx_nat = _make_context(nat_img, engine.filters, cfg)
+        jax.device_get(ctx_nat["target_lab"][0, 0])
+        t_assign_nat = _bench(
+            assign_fn,
+            lambda i: (ctx_nat["assign_pixels"], jnp.asarray(palettes_np[i % 8])),
+            scalarize=lambda o: o[0, 0, :2],
+        )
+        jax.block_until_ready(nat_img)
+        t0 = time.perf_counter()
+        pal_n, _fit_n = e2e_quality_schedule(nat_img, jax.random.PRNGKey(3))
+        t_e2e_nat = time.perf_counter() - t0
+        out_n = engine.quantize(nat_img, jnp.asarray(pal_n))
+        de_nat = float(jax.device_get(engine.error_image(nat_img, out_n)[0]))
+        natural = {
+            "e2e_seconds": round(t_e2e_nat, 3),
+            "e2e_mean_delta_e": round(de_nat, 3),
+            "assignment_mpix_per_s_per_chip_k256": round(
+                POP * npix / t_assign_nat / 1e6, 1
+            ),
+        }
 
     # -- context: multi-chip scaling rows (column-sharded engine) ------------
     # One chip -> a single 1-shard sanity row; a real multi-chip environment
@@ -227,6 +258,7 @@ def main() -> None:
                     "final_best_error_40iters": float(
                         jax.device_get(state.best_error)
                     ),
+                    "natural_content_4k_k256": natural,
                     "multichip_scaling_column_sharded": multichip,
                     "n_devices": len(jax.devices()),
                     "device": str(jax.devices()[0]),

@@ -28,7 +28,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from parity_check import make_test_image  # noqa: E402
+from parity_check import content_image  # noqa: E402
 
 
 def parse_seeds(spec: str):
@@ -44,6 +44,7 @@ def parse_seeds(spec: str):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--content", default="smooth", choices=["smooth", "natural"])
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--colors", "-k", type=int, default=64)
     ap.add_argument("--imax", type=int, default=1500)
@@ -72,7 +73,7 @@ def main() -> int:
 
     from tests import oracle
 
-    img = make_test_image(args.size, np.random.default_rng(0))
+    img = content_image(args.content, args.size)
     ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
     target64 = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
 
@@ -96,7 +97,7 @@ def main() -> int:
     )
     engine = HybridQuantizer(cfg)
 
-    for s in todo:
+    for i, s in enumerate(todo):
         t0 = time.time()
         pal, _info = engine.find_palette(
             img, key=jax.random.PRNGKey(s), chunk_size=args.imax
@@ -113,8 +114,14 @@ def main() -> int:
             "precision": args.precision,
             "size": args.size, "colors": args.colors,
             "imax": args.imax, "population": args.population,
+            "content": args.content,
             "anneal_seconds": round(t_anneal, 1),
         }
+        if i == 0:
+            # the first seed of a process pays the remote jit compile
+            # (minutes through the axon relay) — flag it so nobody
+            # aggregates a 400x timing outlier (round-3 VERDICT Weak #6)
+            rec["compile_inclusive"] = True
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
             f.flush()

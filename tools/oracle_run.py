@@ -35,11 +35,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from parity_check import make_test_image  # noqa: E402
+from parity_check import content_image  # noqa: E402
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--content", default="smooth", choices=["smooth", "natural"])
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--colors", "-k", type=int, default=64)
     ap.add_argument("--imax", type=int, default=1500)
@@ -67,7 +68,7 @@ def main() -> int:
     if not todo:
         return 0
 
-    img = make_test_image(args.size, np.random.default_rng(0))
+    img = content_image(args.content, args.size)
     odtype = np.float32 if args.dtype == "f32" else np.float64
     ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
     target64 = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)
@@ -110,6 +111,7 @@ def main() -> int:
                 "search_fitness": float(err), "dtype": args.dtype,
                 "size": args.size, "colors": args.colors,
                 "imax": args.imax, "population": args.population,
+                "content": args.content,
                 "seconds": round(time.time() - t0, 1),
             }
             with lock:

@@ -35,22 +35,33 @@ sys.path.insert(0, os.path.dirname(_HERE) if _HERE.endswith("tools") else _HERE)
 
 
 def make_test_image(size: int, rng) -> np.ndarray:
-    y, x = np.mgrid[0:size, 0:size].astype(np.float64) / size
-    img = np.stack(
-        [
-            0.5 + 0.5 * np.sin(6.28 * x) * np.cos(3.1 * y),
-            y,
-            np.clip(x + 0.3 * np.sin(12.0 * y), 0, 1),
-        ],
-        axis=-1,
-    )
-    img = np.clip(img + rng.normal(scale=0.04, size=img.shape), 0, 1)
-    return img.astype(np.float32)
+    """Historical smooth parity workload (delegates to synth; the committed
+    JSONL evidence depends on this staying bit-identical)."""
+    from hybridquantization_tpu import synth
+
+    return synth.smooth_test_image(size, rng)
+
+
+def content_image(content: str, size: int, seed: int = 0) -> np.ndarray:
+    """Shared content-axis dispatch for the parity runners."""
+    from hybridquantization_tpu import synth
+
+    if content == "smooth":
+        return make_test_image(size, np.random.default_rng(seed))
+    if content == "natural":
+        return synth.natural_image(size, size, seed=seed)
+    raise ValueError(f"unknown content class {content!r}")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", help="input image (default: synthetic)")
+    ap.add_argument(
+        "--content", default="smooth", choices=["smooth", "natural"],
+        help="synthetic content class: 'smooth' (historical parity "
+        "workload) or 'natural' (1/f multi-octave value noise — the "
+        "natural-statistics axis, synth.natural_image)",
+    )
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--colors", "-k", type=int, default=8)
     ap.add_argument("--imax", type=int, default=1500)
@@ -107,12 +118,12 @@ def main() -> int:
 
         img = hio.load_image(args.image)
     else:
-        img = make_test_image(args.size, np.random.default_rng(0))
+        img = content_image(args.content, args.size)
 
     print(
         f"engine precision={args.precision} tie_mode={args.tie_mode} "
         f"conv_precision={args.conv_precision or args.precision} "
-        f"oracle_dtype={args.oracle_dtype}"
+        f"oracle_dtype={args.oracle_dtype} content={args.content}"
     )
     ofilters, abs_k3, _ = oracle.build_filters(72, 45.0)
     target = oracle.srgb_to_scielab(img.astype(np.float64), ofilters, abs_k3)

@@ -47,7 +47,11 @@ def main() -> int:
         print("need at least one record on each side")
         return 2
     cfg_keys = ("size", "colors", "imax", "population")
-    cfgs = {tuple(r[k] for k in cfg_keys) for r in eng + ora}
+    # "content" is absent from pre-round-4 records (all smooth content)
+    cfgs = {
+        tuple(r[k] for k in cfg_keys) + (r.get("content", "smooth"),)
+        for r in eng + ora
+    }
     if len(cfgs) != 1:
         print(f"WARNING: mixed configs in inputs: {cfgs}")
 
