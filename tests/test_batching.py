@@ -103,3 +103,47 @@ def test_batch_kmeans_init_and_polish(rng):
         # polished palettes stay in gamut and keep their shape
         assert info["palettes"].shape == (2, 6, 3)
         assert info["palettes"].min() >= 0.0 and info["palettes"].max() <= 1.0
+
+
+def test_bucketed_batch_64_mixed_resolutions(rng):
+    """BASELINE config-4-shaped evidence at B=64 (round-3 VERDICT Next #7):
+    the bucketing/padding machinery existed but had only ever been
+    exercised at B<=3. 64 mixed-resolution images flow through
+    run_bucketed + ShardedBatchQuantizer on the 8-virtual-device mesh;
+    every image must come back in input order with a finite palette, a
+    correctly shaped output, and <= K distinct colors."""
+    import time
+
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.parallel import ShardedBatchQuantizer, make_mesh
+
+    K = 5
+    sizes = [(24, 32), (32, 24), (40, 40), (24, 24)]
+    images = [
+        rng.random(sizes[i % len(sizes)] + (3,)).astype(np.float32)
+        for i in range(64)
+    ]
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=K, population=2, imax=4)
+    )
+    q = ShardedBatchQuantizer(cfg, make_mesh(2, 4))
+
+    def run_batch(stack):
+        out, info = q.run(stack)
+        return np.asarray(out), np.asarray(info["palettes"]), np.asarray(
+            info["best_errors"]
+        )
+
+    t0 = time.time()
+    results = run_bucketed(images, run_batch, n_data=2)
+    elapsed = time.time() - t0
+
+    assert len(results) == 64 and all(r is not None for r in results)
+    for img, (out, pal, err) in zip(images, results):
+        assert out.shape == img.shape
+        assert pal.shape == (K, 3) and np.isfinite(pal).all()
+        assert np.isfinite(err)
+        assert len(np.unique(out.reshape(-1, 3), axis=0)) <= K
+    # 4 shape buckets x 16 images on tiny shapes: minutes would mean the
+    # bucketing recompiled per image instead of per bucket
+    assert elapsed < 300, f"B=64 bucketed run took {elapsed:.0f}s"
