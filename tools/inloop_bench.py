@@ -14,7 +14,12 @@ from hybridquantization_tpu.ops import pallas_assign as pa
 from hybridquantization_tpu.ops.band_conv import padded_plan
 from hybridquantization_tpu import colorspace as cs
 
-H, W, K, POP = 2160, 3840, 256, 4
+H, W, POP = 2160, 3840, 4
+# K overridable for the pruning-ceiling probe (docs/PERFORMANCE.md round-4:
+# a candidate-pruned kernel with K' candidates per block can never beat the
+# dense kernel timed at K=K' — same dots, same chain, minus all pruning
+# overhead — so t(K') is the hard ceiling of any pruning design)
+K = int(os.environ.get("KK", "256"))
 PREC = os.environ.get("PREC", "f32x3")
 
 def main():
