@@ -253,6 +253,29 @@ def _delta_e_tiles(L1, a1, b1, L2, a2, b2, kind: str):
     raise ValueError(f"fused kernel does not support deltaE {kind!r}")
 
 
+def _sw_vmem_bytes(Hp: int, sw: int, precision: str, edges: str) -> int:
+    """Estimated VMEM working set of the kernel at stripe width sw.
+
+    Counts the Hp-scaled buffers with the same accounting on every config
+    (double-buffered stripe inputs, t7 scratches, neighbor blocks, slabs);
+    constant-size matrix stacks are excluded from both the estimate and
+    the budget. The budget is self-calibrating: the 4K/f32x3/mirror/sw=4
+    configuration is measured-good on v5e (110 MB limit), so any config
+    whose estimate fits under ITS estimate also fits."""
+    b = BLOCK
+    t7_bytes = 2 if precision == "f32x3" else 4
+    n_scratch = 2 if precision == "f32x3" else 1
+    scratch = n_scratch * 7 * (Hp + 2 * b) * sw * b * t7_bytes
+    qm = 2 * 3 * Hp * sw * b * 4          # double-buffered stripe body
+    qn = 4 * 3 * Hp * b * 4               # qL/qR neighbor blocks
+    slabs = (4 * 3 * Hp * b * 4) if edges == "slabs" else 0
+    tgt = 2 * 3 * Hp * sw * b * 4
+    return scratch + qm + qn + slabs + tgt
+
+
+_SW_VMEM_BUDGET = _sw_vmem_bytes(2176, 4, "f32x3", "mirror")
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -458,9 +481,18 @@ def fused_scielab_err_sums(
     hw = hw.astype(jnp.int32)
     assert target.shape == (3, Hp, Wp), (target.shape, Hp, Wp)
     n_blocks = Wp // BLOCK
-    # widest stripe that tiles the padded width (padded_plan prefers
-    # 4-block-divisible Wp so 4K frames get sw=4: 1.5x q reads vs 3x)
-    sw = 4 if n_blocks % 4 == 0 else (2 if n_blocks % 2 == 0 else 1)
+    # Widest stripe that tiles the padded width AND fits VMEM (padded_plan
+    # prefers 4-block-divisible Wp so 4K frames get sw=4: 1.5x q reads vs
+    # 3x; at 8K heights the sw=4 working set is ~195 MB > the chip's
+    # 128 MB VMEM — measured on v5e — so tall images step down to sw=2/1,
+    # which costs only extra q reads, not MACs).
+    sw = 1
+    for sw_c in (4, 2):
+        if n_blocks % sw_c == 0 and _sw_vmem_bytes(
+            Hp, sw_c, precision, edges
+        ) <= _SW_VMEM_BUDGET:
+            sw = sw_c
+            break
     n_stripes = n_blocks // sw
     n_rows = Hp // BLOCK
     ah, bh, ch = (m.astype(jnp.float32) for m in mats_h[:3])

@@ -171,9 +171,15 @@ def test_8k_single_eval_and_exact_counts(rng):
     q = HybridQuantizer(cfg)
     ctx = _make_context(jnp.asarray(img), q.filters, cfg)
     pal = jnp.asarray(rng.random((1, K, 3)).astype(np.float32))
-    e, _usage = jax.jit(
-        make_population_fitness(ctx, cfg, q.filters.half_width)
-    )(pal)
+
+    # ctx must be a TRACED argument: at 8K a closure capture turns the
+    # image into MLIR constants and the program blows past the remote
+    # compiler's request limit (CLAUDE.md gotcha, verified the hard way)
+    @jax.jit
+    def fit(ctx_, ps):
+        return make_population_fitness(ctx_, cfg, q.filters.half_width)(ps)
+
+    e, _usage = fit(ctx, pal)
     assert np.isfinite(np.asarray(e)).all()
 
     # (b) exact counts with a single dominant entry beyond 2^24 pixels
