@@ -300,6 +300,60 @@ def test_fast_fitness_matches_single_chip(rng):
     np.testing.assert_array_equal(np.asarray(got_use), np.asarray(want_use))
 
 
+def test_fast_fitness_one_shard_mirror_mode(rng):
+    """At n_pixel=1 the fast engine degenerates to the single-chip
+    formulation (round-4 1-shard overhead fix): batched fitness +
+    mirror-mode edges, no slabs, no member pipelining. Must still match
+    the single-chip fused path."""
+    from hybridquantization_tpu.parallel import build_sharded_fast_fns, plan_fast
+    from hybridquantization_tpu.pipeline import make_population_fitness
+
+    mesh = make_mesh(1, 1)
+    filters = build_filters(72, 45.0)
+    img = rng.random((140, 160, 3), dtype=np.float32)
+    pals = jnp.asarray(rng.random((2, 6, 3), dtype=np.float32))
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=6, population=2),
+        use_pallas="on", precision="highest",
+    )
+    *_, ok = plan_fast(140, 160, filters.half_width, 1)
+    assert ok
+
+    engine = HybridQuantizer(cfg)
+    ctx1 = _make_context(jnp.asarray(img), engine.filters, cfg)
+    want_err, want_use = jax.jit(
+        make_population_fitness(ctx1, cfg, filters.half_width)
+    )(pals)
+
+    from hybridquantization_tpu.parallel import fast as fast_mod
+
+    prepare, *_ = build_sharded_fast_fns(mesh, cfg, filters, interpret=True)
+    ctx = prepare(jnp.asarray(img)[None])
+    Hp, Wt, Ws, _ = fast_mod.plan_fast(140, 160, filters.half_width, 1)
+    mats_h, mats_v = sct.band_matrices(filters)
+    wp = jnp.asarray([0.95047, 1.0, 1.0883])
+
+    def body(x4_local, tgt_local):
+        fitness = fast_mod.make_fast_fitness(
+            x4_local[0], tgt_local[0], cfg, mats_h, mats_v, wp,
+            H=140, W=160, Hp=Hp, Ws=Ws, n_pixel=1, interpret=True,
+        )
+        return fitness(pals)
+
+    got_err, got_use = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, PIXEL_AXIS),
+            P(DATA_AXIS, None, None, PIXEL_AXIS),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(ctx["x4"], ctx["targets"])
+
+    np.testing.assert_allclose(np.asarray(got_err), np.asarray(want_err), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_use), np.asarray(want_use))
+
+
 def test_overlap_collectives_identical(rng):
     """Member-pipelined evaluation (per-member fused psum, issued before the
     next member's kernels — the overlap window for XLA's latency-hiding
