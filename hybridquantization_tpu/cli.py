@@ -69,7 +69,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     g.add_argument(
         "--fast", action="store_true",
         help="shorthand for --precision bf16 --tie-mode average (trades "
-        "~1.2%% mean-deltaE for speed, measured; docs/PERFORMANCE.md)",
+        "mean-deltaE for speed; the cost grows with config scale — "
+        "measured ~1.2%% at 64^2/K6 but ~5.5%% at 512^2/K16; "
+        "docs/PERFORMANCE.md)",
     )
 
 

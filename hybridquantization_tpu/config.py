@@ -54,9 +54,11 @@ class QuantizationConfig:
       the default; assignment flips only on score gaps below that (4e-4
       of pixels at K=256 random, measured on hardware), quality-neutral
       at 24-seed parity),
-      "bf16" (1 pass fast mode; flips ~0.7% of assignments and costs
-      ~1.2% mean-deltaE at convergence — measured over 24 seeds, JUST
-      outside the 1% parity budget; use f32x3 whenever parity matters).
+      "bf16" (1 pass fast mode; flips ~0.7% of assignments; quality cost
+      is CONFIG-DEPENDENT and grows with scale — measured over 24 seeds:
+      ~1.2% mean-deltaE at 64^2/K=6, +5.5% at BASELINE config-1
+      (512^2/K=16, docs/evidence/engine_config1_bf16_r04.jsonl); use
+      f32x3 whenever quality matters).
       The reference computes f32 distances (OptimizedConvolution.cl:155).
     tie_mode: exact-score tie handling in the Pallas assignment kernel —
       "first" picks the lowest palette index like the reference's
