@@ -198,6 +198,38 @@ def test_8k_single_eval_and_exact_counts(rng):
     assert P > (1 << 24)  # the regime a naive f32 sum would round in
 
 
+def test_checkpoint_resume_on_hardware(rng, tmp_path):
+    """Checkpoint mid-anneal and resume must equal the uninterrupted run
+    with the REAL Mosaic kernels (CI proves this in interpret mode; the
+    state round-trips through host numpy, so dtype/layout fidelity of
+    device arrays is worth one on-chip check)."""
+    from hybridquantization_tpu.checkpoint import load_state, save_state
+
+    img = rng.random((96, 128, 3)).astype(np.float32)
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=6, population=2, imax=40),
+        use_pallas="on",
+    )
+    q = HybridQuantizer(cfg)
+    key = jax.random.PRNGKey(3)
+
+    pal_full, info_full = q.find_palette(img, key=key, chunk_size=20)
+
+    path = str(tmp_path / "ck.npz")
+    q2 = HybridQuantizer(cfg)
+    _, info_half = q2.find_palette(
+        img, key=key, chunk_size=20,
+        progress=lambda done, imax, t: done < 20,
+    )
+    save_state(path, info_half["state"])
+    st_loaded, _ = load_state(path)
+    pal_res, info_res = q2.find_palette(
+        img, key=key, chunk_size=20, initial_state=st_loaded
+    )
+    np.testing.assert_array_equal(np.asarray(pal_full), np.asarray(pal_res))
+    assert info_full["best_error"] == info_res["best_error"]
+
+
 def test_fast_sharded_path_on_hardware(rng):
     """The column-sharded engine's real-kernel path on however many chips
     exist (1xN mesh; guard exchange rides ICI when N > 1, local mirrors
