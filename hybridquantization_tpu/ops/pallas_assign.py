@@ -83,6 +83,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# The kernel's live set per pixel block scales as K_pad * block (scores
+# f32 + one-hot f32/bf16 + index tensors, ~14-16 B/element); 2^22 elements
+# (~64 MB) leaves 2x headroom against the v5e's 128 MB VMEM at the
+# measured-good K=256/block=8192 operating point (2^21 elements).
+_BLOCK_BUDGET_ELEMS = 1 << 22
+
+
+def pick_block(num_colors: int, default: int = DEFAULT_BLOCK) -> int | None:
+    """Largest valid pixel block for a K-color palette, or None.
+
+    The reference GUI allows K up to 2^24 (HybridQuantization.java:192),
+    but this kernel holds a (K_pad, block) score tile in VMEM, so block
+    shrinks as K grows (K <= 512 keeps the default 8192) and beyond
+    K ~ 32768 the kernel is infeasible — callers must fall back to the
+    blocked jnp assignment (ops.assign.nearest_palette), which handles
+    any K. Returned blocks satisfy the LANE * 2^m constraint.
+    """
+    kp = _round_up(max(num_colors, 8), 8)
+    block = default
+    while block >= LANE:
+        if kp * block <= _BLOCK_BUDGET_ELEMS:
+            return block
+        block //= 2
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Host-side packing
 # ---------------------------------------------------------------------------
@@ -509,8 +535,14 @@ def nearest_palette_pallas(
 ) -> jnp.ndarray:
     """(P,) int32 — drop-in for ops.assign.nearest_palette on TPU."""
     P = features.shape[0]
-    x4 = pack_pixels(features, block)
+    blk = pick_block(pal_feats.shape[0], block)
+    if blk is None:
+        raise ValueError(
+            f"K={pal_feats.shape[0]} exceeds the Pallas kernel's VMEM "
+            "budget at any block size; use ops.assign.nearest_palette"
+        )
+    x4 = pack_pixels(features, blk)
     c4, _ = pack_palette(pal_feats, pal_feats)
     return assign_idx(
-        x4, c4, block=block, interpret=interpret, precision=precision
+        x4, c4, block=blk, interpret=interpret, precision=precision
     )[0, :P]

@@ -71,7 +71,12 @@ def plan_fast(H: int, W: int, half: int, n_pixel: int):
 
 
 def supports_fast(cfg: QuantizationConfig) -> bool:
-    return cfg.deltaE in ff.FUSED_DELTA_E
+    # K beyond the assignment kernel's VMEM budget routes to the
+    # row-sharded XLA engine (pick_block; reference K range is 2^24)
+    return (
+        cfg.deltaE in ff.FUSED_DELTA_E
+        and pa.pick_block(cfg.swasa.num_colors) is not None
+    )
 
 
 def _column_guards(q: jnp.ndarray, n: int, axis_name: str):
@@ -125,6 +130,7 @@ def make_fast_fitness(
     wp_tuple = tuple(float(v) for v in jnp.asarray(whitepoint).tolist())
     lab_assign = cfg.assignment_space == "lab"
     n_local_pix = Hp * Ws
+    blk = pa.pick_block(cfg.swasa.num_colors)
     # At one pixel shard there are no neighbors: the R-folded mirror
     # matrices handle both column edges exactly as the single-chip kernel
     # does, so skip the slab materialization (two reversed-edge copies per
@@ -137,7 +143,7 @@ def make_fast_fitness(
         """One member's (local-sums, local-usage) -> one fused psum."""
         opp, usage_l = pa.assign_opp_usage_pop(
             None, pal_feat[None], opp_pal[None],
-            x4=x4_local, num_pixels=n_local_pix,
+            x4=x4_local, num_pixels=n_local_pix, block=blk,
             interpret=interpret, precision=cfg.precision,
             tie_mode=cfg.tie_mode,
         )
@@ -184,7 +190,7 @@ def make_fast_fitness(
         opp_pals = jax.vmap(cs.srgb_to_opp)(palettes)
         opp, usage_l = pa.assign_opp_usage_pop(
             None, pal_feats, opp_pals,
-            x4=x4_local, num_pixels=n_local_pix,
+            x4=x4_local, num_pixels=n_local_pix, block=blk,
             interpret=interpret, precision=cfg.precision,
             tie_mode=cfg.tie_mode,
         )
@@ -306,7 +312,7 @@ def build_sharded_fast_fns(
                 feats = img.reshape(-1, 3)
                 if lab_assign:
                     feats = cs.srgb_to_lab(feats, wp)
-                return pa.pack_pixels(feats)
+                return pa.pack_pixels(feats, pa.pick_block(cfg.swasa.num_colors))
 
             return jax.vmap(per_image)(imgs_local)
 

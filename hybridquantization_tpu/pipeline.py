@@ -97,7 +97,9 @@ def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: Quantiza
             feats_padded = image_padded.reshape(-1, 3)
             if cfg.assignment_space == "lab":
                 feats_padded = cs.srgb_to_lab(feats_padded, wp)
-            ctx["x4"] = pa.pack_pixels(feats_padded)
+            ctx["x4"] = pa.pack_pixels(
+                feats_padded, pa.pick_block(cfg.swasa.num_colors)
+            )
             # Planar zero-padded target for the fused fitness kernel (the
             # pad region is masked out of the Delta-E sum in-kernel).
             ctx["target_planar"] = jnp.pad(
@@ -105,7 +107,9 @@ def _make_context(image_hwc: jnp.ndarray, filters: ScielabFilters, cfg: Quantiza
                 ((0, 0), (0, Hp - H), (0, Wp - W)),
             )
         else:
-            ctx["x4"] = pa.pack_pixels(assign_pixels)
+            ctx["x4"] = pa.pack_pixels(
+                assign_pixels, pa.pick_block(cfg.swasa.num_colors)
+            )
     return ctx
 
 
@@ -159,11 +163,23 @@ def make_fitness(
 
 
 def _pallas_enabled(cfg: QuantizationConfig) -> bool:
+    from .ops import pallas_assign as pa
+
+    # The Pallas kernel holds a (K_pad, block) score tile in VMEM; the
+    # reference allows K up to 2^24 (HybridQuantization.java:192), so very
+    # large palettes must route to the blocked XLA path (pick_block).
+    feasible = pa.pick_block(cfg.swasa.num_colors) is not None
     if cfg.use_pallas == "on":
+        if not feasible:
+            raise ValueError(
+                f"use_pallas='on' but K={cfg.swasa.num_colors} exceeds the "
+                "assignment kernel's VMEM budget at any block size; use "
+                "use_pallas='auto' (falls back to the XLA path)"
+            )
         return True
     if cfg.use_pallas == "off":
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and feasible
 
 
 def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
@@ -191,6 +207,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
     SRC7 = (0, 1, 2, 0, 1, 2, 0)  # filter -> opponent-channel source
     use_fused = pad_ok and cfg.deltaE in ff.FUSED_DELTA_E
     conv_prec = cfg.conv_precision or cfg.precision
+    blk = pa.pick_block(cfg.swasa.num_colors)  # matches _make_context packing
 
     def pop_fitness(palettes: jax.Array):
         pop = palettes.shape[0]
@@ -206,6 +223,7 @@ def make_population_fitness(ctx: dict, cfg: QuantizationConfig, half: int = 10):
             opp_palettes,
             x4=ctx["x4"],
             num_pixels=Hp * Wp if pad_ok else H * W,
+            block=blk,
             interpret=interpret,
             precision=cfg.precision,
             tie_mode=cfg.tie_mode,

@@ -302,3 +302,56 @@ def test_fused_fitness_delta_e_variants(rng, de):
         res[mode] = (np.asarray(e), np.asarray(u))
     np.testing.assert_allclose(res["on"][0], res["off"][0], atol=2e-5)
     np.testing.assert_array_equal(res["on"][1], res["off"][1])
+
+
+def test_pick_block_scales_with_k():
+    """Block shrinks as K grows (VMEM score-tile budget); huge K is
+    infeasible and callers must fall back to the XLA path (the reference
+    GUI allows K up to 2^24, HybridQuantization.java:192)."""
+    assert pa.pick_block(8) == pa.DEFAULT_BLOCK
+    assert pa.pick_block(256) == pa.DEFAULT_BLOCK
+    assert pa.pick_block(512) == pa.DEFAULT_BLOCK
+    assert pa.pick_block(1024) == pa.DEFAULT_BLOCK // 2
+    assert pa.pick_block(4096) == pa.DEFAULT_BLOCK // 8
+    assert pa.pick_block(1 << 20) is None
+    for k in (8, 300, 1024, 5000):
+        blk = pa.pick_block(k)
+        if blk is not None:
+            kp = (max(k, 8) + 7) // 8 * 8
+            assert kp * blk <= pa._BLOCK_BUDGET_ELEMS
+            assert blk % pa.LANE == 0
+
+
+def test_large_k_population_matches_jnp(rng):
+    """K=1024 routes through a shrunken block and still matches the jnp
+    reference exactly."""
+    P, K, pop = 6000, 1024, 2
+    feats = jnp.asarray(rng.random((P, 3), dtype=np.float32))
+    pals = jnp.asarray(rng.random((pop, K, 3), dtype=np.float32))
+    opps = jax.vmap(cs.srgb_to_opp)(pals)
+    blk = pa.pick_block(K, 1024)  # small default keeps interpret fast
+    assert blk is not None and blk < 8192
+    opp, usage = pa.assign_opp_usage_pop(
+        feats, pals, opps, block=blk, interpret=True, precision="highest"
+    )
+    for p in range(pop):
+        idx = np.asarray(aj.nearest_palette(feats, pals[p]))
+        np.testing.assert_allclose(
+            np.asarray(opp[p]), np.asarray(opps[p])[idx].T, atol=1e-5
+        )
+        want = np.zeros(K, bool)
+        want[idx] = True
+        np.testing.assert_array_equal(np.asarray(usage[p]), want)
+
+
+def test_pipeline_rejects_infeasible_k_with_pallas_on():
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.pipeline import _pallas_enabled
+
+    big = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=1 << 20), use_pallas="on"
+    )
+    with pytest.raises(ValueError, match="VMEM budget"):
+        _pallas_enabled(big)
+    auto = QuantizationConfig(swasa=SWASAConfig(num_colors=1 << 20))
+    assert _pallas_enabled(auto) is False  # auto falls back silently
