@@ -256,3 +256,21 @@ def test_fast_sharded_path_on_hardware(rng):
     assert np.isfinite(info["best_errors"]).all()
     out = np.asarray(q.quantize(img, pal))
     assert out.shape == img.shape
+
+
+def test_large_k_block_shrink_on_hardware(rng):
+    """K=1024 exercises the K-aware block path (pick_block -> 4096) with
+    the real Mosaic kernel: one short anneal must produce a finite error
+    and a full-shape palette."""
+    from hybridquantization_tpu.ops import pallas_assign as pa
+
+    assert pa.pick_block(1024) == pa.DEFAULT_BLOCK // 2
+    img = rng.random((256, 384, 3)).astype(np.float32)
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=1024, population=2, imax=4),
+        use_pallas="on",
+    )
+    q = HybridQuantizer(cfg)
+    pal, info = q.find_palette(img, key=jax.random.PRNGKey(0), chunk_size=4)
+    assert pal.shape == (1024, 3)
+    assert np.isfinite(info["best_error"])
