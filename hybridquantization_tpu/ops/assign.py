@@ -157,9 +157,15 @@ def lloyd_step(
     if use_pallas:
         from . import pallas_assign as pa
 
+        # block must match how x4 was packed; both sides derive it from K
+        # (pick_block). Infeasible K (pick_block None) never reaches here —
+        # lloyd_polish routes it to the jnp path below.
+        blk = pa.pick_block(K)
         if x4 is not None:
             c4, _ = pa.pack_palette(palette, palette)
-            idx = pa.assign_idx(x4, c4, precision="f32x3")[0, : pixels.shape[0]]
+            idx = pa.assign_idx(
+                x4, c4, block=blk, precision="f32x3"
+            )[0, : pixels.shape[0]]
         else:
             idx = pa.nearest_palette_pallas(pixels, palette, precision="f32x3")
     else:
@@ -195,7 +201,11 @@ def lloyd_polish(
     if use_pallas:
         from . import pallas_assign as pa
 
-        x4 = pa.pack_pixels(pixels)
+        blk = pa.pick_block(palette.shape[0])
+        if blk is None:
+            use_pallas = False  # K beyond the kernel's VMEM budget
+        else:
+            x4 = pa.pack_pixels(pixels, blk)
 
     def body(_, pal):
         return lloyd_step(
