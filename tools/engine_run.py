@@ -52,6 +52,11 @@ def main() -> int:
     ap.add_argument("--seeds", default="0-23", help="e.g. 0-23 or 3,5,7")
     ap.add_argument("--precision", default="f32x3",
                     choices=["highest", "f32x3", "bf16"])
+    ap.add_argument("--assignment-space", default="srgb",
+                    choices=["srgb", "lab"],
+                    help="srgb = reference parity mode; lab = the BASELINE "
+                    "north-star Delta-E assignment kernel (recorded in the "
+                    "JSONL as assignment_space)")
     ap.add_argument("--conv-precision", default="",
                     choices=["", "highest", "f32x3", "bf16"])
     ap.add_argument("--out", required=True)
@@ -94,6 +99,7 @@ def main() -> int:
         ),
         precision=args.precision,
         conv_precision=args.conv_precision,
+        assignment_space=args.assignment_space,
     )
     engine = HybridQuantizer(cfg)
 
@@ -104,8 +110,15 @@ def main() -> int:
         )
         t_anneal = time.time() - t0
         palette = np.asarray(pal, np.float64)
-        idx = oracle.nearest_palette(img.reshape(-1, 3).astype(np.float64), palette)
-        q = palette[idx].reshape(img.shape)
+        if args.assignment_space == "lab":
+            # the lab mode's final quantize assigns in CIELAB — use the
+            # engine's quantize (mode-aware) and judge its output image
+            q = np.asarray(engine.quantize(img, pal), np.float64)
+        else:
+            idx = oracle.nearest_palette(
+                img.reshape(-1, 3).astype(np.float64), palette
+            )
+            q = palette[idx].reshape(img.shape)
         q_lab = oracle.srgb_to_scielab(q, ofilters, abs_k3)
         rec = {
             "seed": s,
@@ -115,6 +128,7 @@ def main() -> int:
             "size": args.size, "colors": args.colors,
             "imax": args.imax, "population": args.population,
             "content": args.content,
+            "assignment_space": args.assignment_space,
             "anneal_seconds": round(t_anneal, 1),
         }
         if i == 0:
