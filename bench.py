@@ -57,6 +57,45 @@ def _bench(fn, make_input, scalarize, iters=5):
     return ts[len(ts) // 2]
 
 
+def _inloop_assign_stats(x4, palettes, num_pixels, npix_real, pop,
+                         inner=24, outer=5):
+    """Assignment Mpix/s via in-device-loop timing: median + spread.
+
+    The per-call figure this replaces drifted 660 -> 611 Mpix/s across
+    rounds r01-r04 while every other reading stayed flat — relay dispatch
+    (~30 ms through the axon tunnel) rides on a ~55 ms kernel, so run-to-run
+    dispatch variance dominated the artifact (round-4 VERDICT Weak #1).
+    Here `inner` kernel invocations with rotating palettes run inside ONE
+    jitted fori_loop (technique from tools/inloop_bench.py), amortizing
+    dispatch to <2%; the outer loop repeats the timing to expose the true
+    spread. Returns (median_mpix_s, [min, max] over outer reps).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hybridquantization_tpu.ops import pallas_assign as pa
+
+    @jax.jit
+    def loop_assign(x4_, pals):
+        def body(it, acc):
+            p = pals[it % 8]
+            opp, usage = pa.assign_opp_usage_pop(
+                None, p, p, x4=x4_, num_pixels=num_pixels
+            )
+            return acc + opp[0, 0, 0] + jnp.float32(usage[0, 0])
+        return jax.lax.fori_loop(0, inner, body, jnp.float32(0.0))
+
+    jax.device_get(loop_assign(x4, palettes))  # warmup + compile
+    rates = []
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        jax.device_get(loop_assign(x4, palettes))
+        dt = time.perf_counter() - t0
+        rates.append(inner * pop * npix_real / dt / 1e6)
+    rates.sort()
+    return rates[len(rates) // 2], [round(rates[0], 1), round(rates[-1], 1)]
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -94,19 +133,18 @@ def main() -> None:
     jax.device_get(ctx["target_lab"][0, 0])
 
     # -- context: fused nearest-palette assignment @ K=256 (per-member) ------
-    if on_tpu:
-        @jax.jit
-        def assign_fn(args):
-            px, ps = args
-            opp, usage = pa.assign_opp_usage_pop(px, ps, ps)
-            return opp
+    # Production path: pre-packed padded pixels (ctx["x4"]) through the
+    # Pallas kernel; Mpix/s counts REAL image pixels (the padded extras are
+    # mirror duplicates, docs/PERFORMANCE.md).
+    from hybridquantization_tpu.ops.band_conv import padded_plan
 
-        t_assign_pop = _bench(
-            assign_fn,
-            lambda i: (ctx["assign_pixels"], jnp.asarray(palettes_np[i % 8])),
-            scalarize=lambda o: o[0, 0, :2],
+    Hp, Wp, _pad_ok = padded_plan(H, W, half)
+    assign_spread = None
+    if on_tpu:
+        pals_stack = jnp.asarray(np.stack(palettes_np))  # (8, POP, K, 3)
+        assign_mpix_s, assign_spread = _inloop_assign_stats(
+            ctx["x4"], pals_stack, Hp * Wp, npix, POP
         )
-        assign_mpix_s = POP * npix / t_assign_pop / 1e6
     else:
         @jax.jit
         def assign_fn(args):
@@ -155,18 +193,23 @@ def main() -> None:
     from hybridquantization_tpu.ops.kmeans import kmeans_init_palettes
     from hybridquantization_tpu.ops.assign import polish_palette
 
-    def e2e_quality_schedule(img, key):
+    def e2e_quality_schedule(img, key, cfg_=cfg, engine_=None):
         # EVERYTHING a fresh image needs, timed: context build (target
         # S-CIELAB + pixel packing), k-means seeding, the anneal, Lloyd
         # polish. The context is built from THIS image — a stale shared
         # ctx would anneal against the wrong target.
-        ctx_i = _make_context(img, engine.filters, cfg)
+        eng = engine_ or engine
+        ctx_i = _make_context(img, eng.filters, cfg_)
         pixels = img.reshape(-1, 3)
         seeds = kmeans_init_palettes(key, pixels, K, POP)
-        st = _init_jit(key, ctx_i, cfg, half, seeds)
+        st = _init_jit(key, ctx_i, cfg_, half, seeds)
         for _ in range(E2E_ANNEAL_ITERS // 10):
-            st, _ = _chunk_jit(st, ctx_i, cfg, 10, half)
-        pal = polish_palette(pixels, st.best_colors, "srgb", None, 10)
+            st, _ = _chunk_jit(st, ctx_i, cfg_, 10, half)
+        pal = polish_palette(
+            pixels, st.best_colors, cfg_.assignment_space,
+            ctx_i["whitepoint"] if cfg_.assignment_space == "lab" else None,
+            10,
+        )
         return jax.device_get(pal), float(jax.device_get(st.best_error))
 
     t_e2e, fit_anneal, e2e_de = float("nan"), float("nan"), float("nan")
@@ -193,10 +236,8 @@ def main() -> None:
         nat_img = jnp.asarray(synth.natural_image(H, W, seed=7))
         ctx_nat = _make_context(nat_img, engine.filters, cfg)
         jax.device_get(ctx_nat["target_lab"][0, 0])
-        t_assign_nat = _bench(
-            assign_fn,
-            lambda i: (ctx_nat["assign_pixels"], jnp.asarray(palettes_np[i % 8])),
-            scalarize=lambda o: o[0, 0, :2],
+        nat_mpix, nat_spread = _inloop_assign_stats(
+            ctx_nat["x4"], pals_stack, Hp * Wp, npix, POP
         )
         jax.block_until_ready(nat_img)
         t0 = time.perf_counter()
@@ -207,8 +248,51 @@ def main() -> None:
         natural = {
             "e2e_seconds": round(t_e2e_nat, 3),
             "e2e_mean_delta_e": round(de_nat, 3),
-            "assignment_mpix_per_s_per_chip_k256": round(
-                POP * npix / t_assign_nat / 1e6, 1
+            "assignment_mpix_per_s_per_chip_k256": round(nat_mpix, 1),
+            "assignment_mpix_spread": nat_spread,
+        }
+
+    # -- north-star mode: Delta-E-based assignment in CIELAB ------------------
+    # BASELINE's primary metric is palette assignment with perceptual
+    # (LAB-space) distance — the reference can't do this (its kernel
+    # hard-codes Euclidean-in-sRGB, OptimizedConvolution.cl:155,180); parity
+    # runs measured the lab mode 12-14.5% better mean Delta-E at config-1/2
+    # scale (docs/evidence/engine_config*_lab_r04.jsonl). Same Pallas kernel,
+    # lab-valued features; judged by the SAME S-CIELAB error_image as the
+    # sRGB headline above (round-4 VERDICT Next #3).
+    lab_mode = None
+    if on_tpu:
+        cfg_lab = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=K, population=POP, imax=100),
+            conv_precision="bf16",
+            assignment_space="lab",
+        )
+        engine_lab = HybridQuantizer(cfg_lab)
+        ctx_lab = _make_context(image, engine_lab.filters, cfg_lab)
+        jax.device_get(ctx_lab["target_lab"][0, 0])
+        lab_mpix, lab_spread = _inloop_assign_stats(
+            ctx_lab["x4"], pals_stack, Hp * Wp, npix, POP
+        )
+        img3 = jnp.asarray(rng.random((H, W, 3), dtype=np.float32))
+        e2e_quality_schedule(image, jax.random.PRNGKey(4), cfg_lab, engine_lab)
+        jax.block_until_ready(img3)
+        t0 = time.perf_counter()
+        pal3, _fit3 = e2e_quality_schedule(
+            img3, jax.random.PRNGKey(5), cfg_lab, engine_lab
+        )
+        t_e2e_lab = time.perf_counter() - t0
+        out3 = engine_lab.quantize(img3, jnp.asarray(pal3))
+        de_lab = float(jax.device_get(engine_lab.error_image(img3, out3)[0]))
+        lab_mode = {
+            "e2e_seconds": round(t_e2e_lab, 3),
+            "e2e_mean_delta_e": round(de_lab, 3),
+            "assignment_mpix_per_s_per_chip_k256": round(lab_mpix, 1),
+            "assignment_mpix_spread": lab_spread,
+            "note": (
+                "deltaE-based assignment in CIELAB (BASELINE primary "
+                "metric); same kernel as sRGB mode, lab features; "
+                "e2e image differs from the sRGB row's (fresh draw) but "
+                "is the same content class"
             ),
         }
 
@@ -253,6 +337,13 @@ def main() -> None:
                     "assignment_mpix_per_s_per_chip_k256": round(
                         assign_mpix_s, 1
                     ),
+                    "assignment_mpix_spread": assign_spread,
+                    "assignment_timing": (
+                        "median of 5 outer reps, each 24 kernel calls in "
+                        "one jitted fori_loop (rotating palettes); "
+                        "dispatch-amortized per round-4 VERDICT Weak #1"
+                    ),
+                    "lab_assignment_mode_4k_k256": lab_mode,
                     "pop4_fitness_eval_seconds_4k_k256": round(t_fitness, 4),
                     "swasa_iters_per_s_pop4_4k_k256": round(iters_per_s, 3),
                     "est_seconds_imax5000_pop4_4k": round(

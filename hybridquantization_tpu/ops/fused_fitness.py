@@ -259,9 +259,10 @@ def _sw_vmem_bytes(Hp: int, sw: int, precision: str, edges: str) -> int:
     Counts the Hp-scaled buffers with the same accounting on every config
     (double-buffered stripe inputs, t7 scratches, neighbor blocks, slabs);
     constant-size matrix stacks are excluded from both the estimate and
-    the budget. The budget is self-calibrating: the 4K/f32x3/mirror/sw=4
-    configuration is measured-good on v5e (110 MB limit), so any config
-    whose estimate fits under ITS estimate also fits."""
+    the budget. The budgets (_SW_VMEM_BUDGET, one per edges mode) are
+    self-calibrating: the 4K/f32x3/sw=4 configuration is measured-good on
+    v5e (110 MB limit), so any config whose estimate fits under ITS
+    estimate also fits; an absolute assert pins the anchors to 110 MB."""
     b = BLOCK
     t7_bytes = 2 if precision == "f32x3" else 4
     n_scratch = 2 if precision == "f32x3" else 1
@@ -273,7 +274,19 @@ def _sw_vmem_bytes(Hp: int, sw: int, precision: str, edges: str) -> int:
     return scratch + qm + qn + slabs + tgt
 
 
-_SW_VMEM_BUDGET = _sw_vmem_bytes(2176, 4, "f32x3", "mirror")
+# Per-edges-mode budgets, both anchored at the 4K (Hp=2176) f32x3 sw=4
+# configuration: mirror is measured-good on v5e, and the slabs anchor adds
+# only the 4 neighbor-slab buffers (~13 MB) on top of it — a single budget
+# anchored on mirror made every 4K slabs config step down to sw=2 by
+# exactly the slab term (round-4 advisor finding).
+_SW_VMEM_BUDGET = {
+    "mirror": _sw_vmem_bytes(2176, 4, "f32x3", "mirror"),
+    "slabs": _sw_vmem_bytes(2176, 4, "f32x3", "slabs"),
+}
+# Absolute ceiling: the self-calibrating anchors silently track any future
+# estimator edit (round-4 VERDICT Weak #6), so pin them against the 110 MB
+# measured-good VMEM limit on v5e (docs/PERFORMANCE.md) in absolute bytes.
+assert max(_SW_VMEM_BUDGET.values()) <= 110 * 2**20, _SW_VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +503,7 @@ def fused_scielab_err_sums(
     for sw_c in (4, 2):
         if n_blocks % sw_c == 0 and _sw_vmem_bytes(
             Hp, sw_c, precision, edges
-        ) <= _SW_VMEM_BUDGET:
+        ) <= _SW_VMEM_BUDGET[edges]:
             sw = sw_c
             break
     n_stripes = n_blocks // sw

@@ -434,17 +434,30 @@ def assign_idx(
     return idx
 
 
-def usage_counts(usage_acc: jnp.ndarray, num_colors: int) -> jnp.ndarray:
+def usage_counts(
+    usage_acc: jnp.ndarray, num_colors: int, tie_mode: str = "first"
+) -> jnp.ndarray:
     """EXACT (pop, K) int32 per-entry pixel counts from the (pop, K_pad,
-    LANE) accumulator of assign_opp_pop.
+    LANE) accumulator of assign_opp_pop — for tie_mode="first" only.
 
     Each accumulator element is an exact f32 integer (< 2^24, asserted in
     assign_opp_pop), so the int32 cast is lossless and the int32 lane sum
-    is exact up to 2^31 pixels per entry. Reference analog: the usedColors
-    flag buffer (OptimizedConvolution.cl:169) never counted — counts exist
-    for Lloyd-style consumers (ops.assign.polish_palette operates on
-    indices instead, but any future consumer of THIS accumulator must go
-    through here, not an f32 jnp.sum)."""
+    is exact up to 2^31 pixels per entry. This holds ONLY under the
+    default tie_mode="first" (one winner per pixel); with "average" the
+    accumulator is built from the multi-hit mask, so a tied pixel counts
+    once per tied entry and the per-member total exceeds the pixel count —
+    pass the tie mode the accumulator was produced with so that misuse
+    fails loudly. Reference analog: the usedColors flag buffer
+    (OptimizedConvolution.cl:169) never counted — counts exist for
+    Lloyd-style consumers (ops.assign.polish_palette operates on indices
+    instead, but any future consumer of THIS accumulator must go through
+    here, not an f32 jnp.sum)."""
+    if tie_mode != "first":
+        raise ValueError(
+            "usage_counts is exact only for tie_mode='first' accumulators; "
+            f"got tie_mode={tie_mode!r} (tied pixels count once per tied "
+            "entry there, so per-entry 'counts' are not pixel counts)"
+        )
     return jnp.sum(usage_acc.astype(jnp.int32), axis=2)[:, :num_colors]
 
 

@@ -250,7 +250,21 @@ def build_sharded_fast_fns(
     All functions take/return GLOBAL arrays.
     """
     if not supports_fast(cfg):
-        raise ValueError(f"deltaE {cfg.deltaE!r} not supported by the fused kernel")
+        # Two distinct infeasibilities route here (round-4 advisor
+        # finding): say which one so large-K users aren't told their
+        # deltaE is the problem.
+        if cfg.deltaE not in ff.FUSED_DELTA_E:
+            raise ValueError(
+                f"deltaE {cfg.deltaE!r} not supported by the fused kernel "
+                f"(supported: {sorted(ff.FUSED_DELTA_E)}); use the "
+                "row-sharded engine (parallel.sharded)"
+            )
+        raise ValueError(
+            f"K={cfg.swasa.num_colors} exceeds the assignment kernel's "
+            "VMEM budget at any block size (pallas_assign.pick_block); "
+            "use the row-sharded engine (parallel.sharded), which handles "
+            "any K"
+        )
     mats_h, mats_v = sct.band_matrices(filters)
     half = filters.half_width
     wp = jnp.asarray(cs.WHITEPOINTS[cfg.scielab.whitepoint])

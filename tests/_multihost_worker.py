@@ -67,6 +67,62 @@ def main() -> int:
         assert jax.process_count() == 2, jax.process_count()
         return rc
 
+    if mode == "config5":
+        # Config-5-shaped combined run (round-4 VERDICT Next #5): the three
+        # separately-proven pieces in ONE program — a REAL 2-process
+        # jax.distributed cluster, a bucketed mixed-resolution batch (B=8,
+        # two shape buckets), and overlap_collectives member-pipelined
+        # fused (columns) evaluation. Mesh: data=4 (2 hosts x 2), pixel=2
+        # per host, so the overlap path's per-member psum has a real
+        # collective to hide and the column ppermute guards stay
+        # intra-process.
+        from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+        from hybridquantization_tpu.batching import run_bucketed
+        from hybridquantization_tpu.parallel import ShardedBatchQuantizer
+        from hybridquantization_tpu.parallel.multihost import (
+            distributed_mesh,
+            init_distributed,
+        )
+
+        init_distributed(coord, num_processes=2, process_id=pid)
+        assert jax.process_count() == 2, jax.process_count()
+        mesh = distributed_mesh(pixel_per_host=2)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "pixel": 2,
+        }
+        for row in mesh.devices:
+            assert len({d.process_index for d in row}) == 1
+
+        cfg = QuantizationConfig(
+            swasa=SWASAConfig(num_colors=5, population=2, imax=4), seed=7
+        )
+        assert cfg.overlap_collectives  # the combination under test
+        q = ShardedBatchQuantizer(cfg, mesh, strategy="columns")
+
+        rng = np.random.default_rng(5)
+        sizes = [(100, 200), (90, 170)]
+        images = [
+            rng.random(sizes[i % 2] + (3,)).astype(np.float32)
+            for i in range(8)
+        ]
+
+        def run_batch(stack):
+            o, info = q.run(stack)
+            return (
+                np.asarray(o),
+                np.asarray(info["palettes"]),
+                np.asarray(info["best_errors"]),
+            )
+
+        results = run_bucketed(images, run_batch, n_data=q.n_data)
+        flat = {}
+        for i, (o, pal, err) in enumerate(results):
+            flat[f"out{i}"] = o
+            flat[f"pal{i}"] = pal
+            flat[f"err{i}"] = np.asarray(err)
+        np.savez(out, **flat)
+        return 0
+
     assert mode == "engine", mode
     from hybridquantization_tpu import QuantizationConfig, SWASAConfig
     from hybridquantization_tpu.parallel import ShardedBatchQuantizer

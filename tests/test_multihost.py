@@ -106,6 +106,70 @@ def test_two_process_engine_matches_single_process(tmp_path):
         )
 
 
+def test_config5_cluster_bucketed_overlap(tmp_path):
+    """Config-5-shaped combined evidence (round-4 VERDICT Next #5): a REAL
+    2-process jax.distributed cluster runs a bucketed mixed-resolution
+    batch (B=8, two shape buckets) through the overlap_collectives
+    member-pipelined fused (columns) engine — three pieces previously
+    tested only pairwise. Asserts per-image palettes finite and in gamut,
+    outputs shaped like their inputs, the two processes exactly equal,
+    and the whole thing equal to the single-process 8-device run."""
+    outs = [tmp_path / f"c5_{i}.npz" for i in (0, 1)]
+    _run_cluster("config5", outs, timeout=600)
+
+    r0 = dict(np.load(outs[0]))
+    r1 = dict(np.load(outs[1]))
+    assert set(r0) == {
+        f"{k}{i}" for k in ("out", "pal", "err") for i in range(8)
+    }
+    for k in r0:
+        np.testing.assert_array_equal(r0[k], r1[k], err_msg=k)
+
+    rng = np.random.default_rng(5)
+    sizes = [(100, 200), (90, 170)]
+    images = [
+        rng.random(sizes[i % 2] + (3,)).astype(np.float32) for i in range(8)
+    ]
+    for i, img in enumerate(images):
+        assert r0[f"out{i}"].shape == img.shape
+        pal = r0[f"pal{i}"]
+        assert pal.shape == (5, 3) and np.isfinite(pal).all()
+        assert pal.min() >= 0.0 and pal.max() <= 1.0
+        assert np.isfinite(r0[f"err{i}"])
+
+    # single-process 8-device run of the identical configuration
+    from hybridquantization_tpu import QuantizationConfig, SWASAConfig
+    from hybridquantization_tpu.batching import run_bucketed
+    from hybridquantization_tpu.parallel import (
+        ShardedBatchQuantizer,
+        make_mesh,
+    )
+
+    cfg = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=5, population=2, imax=4), seed=7
+    )
+    q = ShardedBatchQuantizer(cfg, make_mesh(4, 2), strategy="columns")
+
+    def run_batch(stack):
+        o, info = q.run(stack)
+        return (
+            np.asarray(o),
+            np.asarray(info["palettes"]),
+            np.asarray(info["best_errors"]),
+        )
+
+    ref = run_bucketed(images, run_batch, n_data=q.n_data)
+    for i, (o, pal, err) in enumerate(ref):
+        # columns-path cluster has NO cross-host reductions (pixel psums
+        # are intra-host, the data axis is batch-parallel), so the
+        # 2-process run must reproduce the single-process results exactly
+        np.testing.assert_array_equal(r0[f"out{i}"], o, err_msg=f"out{i}")
+        np.testing.assert_array_equal(r0[f"pal{i}"], pal, err_msg=f"pal{i}")
+        np.testing.assert_array_equal(
+            r0[f"err{i}"], np.asarray(err), err_msg=f"err{i}"
+        )
+
+
 def test_two_process_cli_quantize_batch(tmp_path):
     """The advertised `quantize-batch --distributed` CLI flow end-to-end,
     including the --error-images save path (round-2 ADVICE: np.asarray on a

@@ -111,9 +111,18 @@ def main() -> int:
         t_anneal = time.time() - t0
         palette = np.asarray(pal, np.float64)
         if args.assignment_space == "lab":
-            # the lab mode's final quantize assigns in CIELAB — use the
-            # engine's quantize (mode-aware) and judge its output image
-            q = np.asarray(engine.quantize(img, pal), np.float64)
+            # The lab mode's final quantize assigns in CIELAB. Do it in
+            # f64 NumPy on the host — the srgb branch below judges an f64
+            # re-assignment, and judging the engine's f32 device quantize
+            # here instead would mix final-pass precisions across the
+            # lab-vs-srgb comparison (boundary-pixel flips differ;
+            # round-4 advisor finding).
+            px_lab = oracle.xyz_to_lab(
+                oracle.srgb_to_xyz(img.astype(np.float64).reshape(-1, 3))
+            )
+            pal_lab = oracle.xyz_to_lab(oracle.srgb_to_xyz(palette))
+            idx = oracle.nearest_palette(px_lab, pal_lab)
+            q = palette[idx].reshape(img.shape)
         else:
             idx = oracle.nearest_palette(
                 img.reshape(-1, 3).astype(np.float64), palette

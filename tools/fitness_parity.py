@@ -38,11 +38,17 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 
-from parity_check import make_test_image  # noqa: E402
+from parity_check import content_image  # noqa: E402
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--content", default="smooth",
+                    choices=["smooth", "natural"],
+                    help="content class (natural = 1/f value noise, the "
+                    "reference's bioimage-statistics workload); this layer "
+                    "is deterministic, so it reaches config-2-natural "
+                    "scale without paying the anneal's 16% per-seed noise")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--colors", "-k", type=int, default=64)
     ap.add_argument("--palettes", type=int, default=12,
@@ -71,7 +77,7 @@ def main() -> int:
 
     _enable_compilation_cache()
 
-    img = make_test_image(args.size, np.random.default_rng(0))
+    img = content_image(args.content, args.size)
     cfg = QuantizationConfig(
         swasa=SWASAConfig(
             num_colors=args.colors, population=args.population

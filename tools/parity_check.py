@@ -182,12 +182,13 @@ def main() -> int:
                 q.put((s, de, mse, dt))
 
         chunks = [
-            list(range(args.seeds))[j :: args.oracle_jobs]
+            c
             for j in range(args.oracle_jobs)
+            if (c := list(range(args.seeds))[j :: args.oracle_jobs])
         ]
         procs = [
             ctx_mp.Process(target=worker, args=(c,), daemon=True)
-            for c in chunks if c
+            for c in chunks
         ]
         for p in procs:
             p.start()
@@ -229,26 +230,37 @@ def main() -> int:
 
     if procs:
         # Poll with a timeout and check worker liveness: if a forked oracle
-        # worker dies (exception, OOM) mid-run, fail with the seeds collected
-        # so far instead of blocking on q.get() forever.
+        # worker dies (exception, OOM) mid-run, write off only ITS
+        # undelivered seeds and keep collecting from the live workers
+        # (seeds take ~1 h each, so the queue being empty says nothing
+        # about the survivors — round-4 advisor finding); block-free exit
+        # once every live worker's seeds are in.
         import queue as queue_mod
 
+        undelivered = {i: set(c) for i, c in enumerate(chunks)}
+        written_off = set()
         pending = args.seeds
         while pending:
             try:
                 s, de, mse, dt = q.get(timeout=30.0)
             except queue_mod.Empty:
-                dead = [p for p in procs if not p.is_alive() and p.exitcode not in (0, None)]
-                if dead and q.empty():
-                    print(
-                        f"ERROR: {len(dead)} oracle worker(s) died "
-                        f"(exitcodes {[p.exitcode for p in dead]}); "
-                        f"continuing with {len(oracle_de)}/{args.seeds} "
-                        "oracle seeds collected",
-                        file=sys.stderr,
-                    )
-                    break
-                if all(not p.is_alive() for p in procs) and q.empty():
+                for i, p in enumerate(procs):
+                    if (
+                        i not in written_off
+                        and not p.is_alive()
+                        and p.exitcode not in (0, None)
+                    ):
+                        written_off.add(i)
+                        lost = len(undelivered[i])
+                        pending -= lost
+                        print(
+                            f"ERROR: oracle worker {i} died (exitcode "
+                            f"{p.exitcode}), abandoning its {lost} "
+                            f"undelivered seed(s) {sorted(undelivered[i])}; "
+                            "continuing with live workers",
+                            file=sys.stderr,
+                        )
+                if pending and all(not p.is_alive() for p in procs) and q.empty():
                     print(
                         f"ERROR: all oracle workers exited with only "
                         f"{len(oracle_de)}/{args.seeds} seeds delivered",
@@ -257,6 +269,8 @@ def main() -> int:
                     break
                 continue
             pending -= 1
+            for dset in undelivered.values():
+                dset.discard(s)
             oracle_de.append(de)
             oracle_mse.append(mse)
             print(
