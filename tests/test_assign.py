@@ -206,6 +206,41 @@ def test_lloyd_polish_hist_close_to_exact(rng):
     assert _assign_mse(pixels, hist) < _assign_mse(pixels, palette)
 
 
+def test_polish_palette_lab_hist_close_to_exact(rng):
+    """LAB-space histogram polish (round 5: bins sRGB, Lloyd-steps in
+    CIELAB) lands near the exact per-pixel lab polish and improves
+    lab-space MSE — the rule that previously forced lab polishing to the
+    per-pixel path made the north-star mode pay the only per-pixel
+    polish at 4K."""
+    from hybridquantization_tpu import colorspace as cs
+
+    wp = cs.WHITEPOINTS["D65"]
+    pixels = rng.random((30000, 3), dtype=np.float32)
+    palette = rng.random((8, 3), dtype=np.float32)
+
+    def lab_mse(pal):
+        px = np.asarray(cs.srgb_to_lab(jnp.asarray(pixels), jnp.asarray(wp)))
+        pl = np.asarray(cs.srgb_to_lab(jnp.asarray(pal), jnp.asarray(wp)))
+        d2 = ((px[:, None, :] - pl[None, :, :]) ** 2).sum(-1)
+        return d2.min(1).mean()
+
+    exact = np.asarray(
+        assign.polish_palette(
+            jnp.asarray(pixels), jnp.asarray(palette), "lab", wp, 5,
+            method="exact",
+        )
+    )
+    hist = np.asarray(
+        assign.polish_palette(
+            jnp.asarray(pixels), jnp.asarray(palette), "lab", wp, 5,
+            method="hist",
+        )
+    )
+    assert hist.min() >= 0.0 and hist.max() <= 1.0
+    assert lab_mse(hist) <= lab_mse(exact) * 1.05
+    assert lab_mse(hist) < lab_mse(palette)
+
+
 def test_polish_palette_methods(rng):
     pixels = rng.random((5000, 3), dtype=np.float32)
     palette = rng.random((6, 3), dtype=np.float32)
