@@ -355,3 +355,47 @@ def test_pipeline_rejects_infeasible_k_with_pallas_on():
         _pallas_enabled(big)
     auto = QuantizationConfig(swasa=SWASAConfig(num_colors=1 << 20))
     assert _pallas_enabled(auto) is False  # auto falls back silently
+
+
+def test_usage_counts_rejects_average_tie_mode(rng):
+    """Exact counts hold only for tie_mode='first' accumulators (round-4
+    advisor): with 'average' a tied pixel increments every tied entry, so
+    the reduction is not a pixel histogram — misuse must fail loudly."""
+    P, K = 512, 5
+    feats = jnp.asarray(rng.random((P, 3), dtype=np.float32))
+    pals = jnp.asarray(rng.random((1, K, 3), dtype=np.float32))
+    opps = jax.vmap(cs.srgb_to_opp)(pals)
+    x4 = pa.pack_pixels(feats, block=256)
+    c4, o4 = jax.vmap(pa.pack_palette)(pals, opps)
+    _opp, acc = pa.assign_opp_pop(
+        x4, c4, o4, jnp.int32(P), block=256, interpret=True,
+        precision="highest", tie_mode="average",
+    )
+    with pytest.raises(ValueError, match="tie_mode='first'"):
+        pa.usage_counts(acc, K, tie_mode="average")
+    # the default-arg path stays exact for first-winner accumulators
+    _opp, acc_f = pa.assign_opp_pop(
+        x4, c4, o4, jnp.int32(P), block=256, interpret=True,
+        precision="highest",
+    )
+    idx = np.asarray(aj.nearest_palette(feats, pals[0]))
+    np.testing.assert_array_equal(
+        np.asarray(pa.usage_counts(acc_f, K))[0], np.bincount(idx, minlength=K)
+    )
+
+
+def test_sw_vmem_budget_per_edges_mode():
+    """4K edges='slabs' must keep stripe width 4 (round-4 advisor): the
+    slabs budget is anchored on its own mode, so the 4K slabs estimate
+    fits it, while the old single mirror-anchored budget would have
+    rejected it by exactly the neighbor-slab term."""
+    from hybridquantization_tpu.ops import fused_fitness as ff
+
+    est_slabs = ff._sw_vmem_bytes(2176, 4, "f32x3", "slabs")
+    est_mirror = ff._sw_vmem_bytes(2176, 4, "f32x3", "mirror")
+    assert est_slabs <= ff._SW_VMEM_BUDGET["slabs"]
+    assert est_mirror <= ff._SW_VMEM_BUDGET["mirror"]
+    # documents the round-4 bug: the mirror anchor alone rejects 4K slabs
+    assert est_slabs > ff._SW_VMEM_BUDGET["mirror"]
+    # absolute ceiling: anchors stay inside the measured-good 110 MB
+    assert max(ff._SW_VMEM_BUDGET.values()) <= 110 * 2**20

@@ -509,3 +509,20 @@ def test_pop_axis_indivisible_population_raises(rng):
     )
     with pytest.raises(ValueError, match="not divisible by the pop"):
         ShardedBatchQuantizer(cfg, make_mesh(1, 2, n_pop=2), strategy="rows")
+
+
+def test_fast_engine_error_distinguishes_causes():
+    """build_sharded_fast_fns's infeasibility error must say WHICH
+    constraint failed (round-4 advisor): unsupported deltaE vs K beyond
+    the assignment kernel's VMEM budget route to different fixes."""
+    from hybridquantization_tpu.parallel import fast as fast_mod
+
+    bad_de = QuantizationConfig(
+        swasa=SWASAConfig(num_colors=8), deltaE="NOT_A_METRIC"
+    )
+    with pytest.raises(ValueError, match="deltaE 'NOT_A_METRIC' not supported"):
+        fast_mod.build_sharded_fast_fns(None, bad_de, None)
+
+    big_k = QuantizationConfig(swasa=SWASAConfig(num_colors=1 << 20))
+    with pytest.raises(ValueError, match="VMEM budget"):
+        fast_mod.build_sharded_fast_fns(None, big_k, None)

@@ -35,6 +35,55 @@ def stats(vals):
     return mean, math.sqrt(var), math.sqrt(var / n) if n > 1 else float("inf")
 
 
+def median(vals):
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def trimmed_mean(vals, frac=0.2):
+    """Mean after dropping frac/2 of the sample at each end (>=1 point
+    per end once n >= 5), the standard guard against basin-tail seeds."""
+    s = sorted(vals)
+    k = max(1, int(len(s) * frac / 2)) if len(s) >= 5 else 0
+    core = s[k : len(s) - k] if k else s
+    return sum(core) / len(core)
+
+
+def rank_sum_p(a, b):
+    """Two-sided Mann-Whitney p (normal approx with tie correction):
+    probability of a rank split this extreme if engine and oracle seeds
+    were drawn from ONE distribution. Distribution-shape evidence the
+    mean gate cannot see (round-4 VERDICT Weak #2)."""
+    allv = sorted((v, 0) for v in a) + sorted((v, 1) for v in b)
+    allv.sort()
+    ranks, i = {}, 0
+    vals = [v for v, _ in allv]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        for k in range(i, j):
+            ranks[k] = (i + j + 1) / 2  # 1-based average rank
+        i = j
+    ra = sum(ranks[k] for k, (_, side) in enumerate(allv) if side == 0)
+    n1, n2 = len(a), len(b)
+    u = ra - n1 * (n1 + 1) / 2
+    mu = n1 * n2 / 2
+    # tie-corrected variance
+    n = n1 + n2
+    ties = {}
+    for v in vals:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t**3 - t for t in ties.values())
+    var = n1 * n2 / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    if var <= 0:
+        return 1.0
+    z = max(0.0, abs(u - mu) - 0.5) / math.sqrt(var)
+    # two-sided normal tail via erfc
+    return math.erfc(z / math.sqrt(2))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--engine", required=True)
@@ -68,6 +117,29 @@ def main() -> int:
         )
         print(f"  gap {gap * 100:+.2f}%  ± {noise * 100:.2f}% (1σ seed noise)")
         verdicts.append((metric, gap, noise))
+
+    # Distribution-aware addendum (round-4 VERDICT Weak #2): the mean gate
+    # above stays the verdict; this block answers whether a gap (or a PASS)
+    # is driven by basin-tail seeds rather than a shifted distribution.
+    ev = [r["deltaE"] for r in eng]
+    ov = [r["deltaE"] for r in ora]
+    print("deltaE distribution: "
+          f"median gap {(median(ev) - median(ov)) / median(ov) * 100:+.2f}%  "
+          f"20%-trimmed-mean gap "
+          f"{(trimmed_mean(ev) - trimmed_mean(ov)) / trimmed_mean(ov) * 100:+.2f}%")
+    above = sum(v > max(ev) for v in ov)
+    below = sum(v < min(ev) for v in ov)
+    print(f"  tails: {above}/{len(ov)} oracle seeds above the engine max "
+          f"({max(ev):.4g}), {below}/{len(ov)} below the engine min "
+          f"({min(ev):.4g}); engine range [{min(ev):.4g}, {max(ev):.4g}], "
+          f"oracle range [{min(ov):.4g}, {max(ov):.4g}]")
+    if len(ev) > 1 and len(ov) > 1:
+        p = rank_sum_p(ev, ov)
+        print(f"  rank-sum (Mann-Whitney, two-sided, tie-corrected): "
+              f"p = {p:.3f} for 'same distribution'"
+              + ("  — shapes indistinguishable at this n" if p > 0.05
+                 else "  — distributions DIFFER; mean-gap verdict may be"
+                      " tail-driven, read the tail counts above"))
 
     de_gap, de_noise = verdicts[0][1], verdicts[0][2]
     if abs(de_gap) + de_noise <= args.tolerance:
