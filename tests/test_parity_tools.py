@@ -119,3 +119,13 @@ def test_robust_stats_units():
     assert pr.rank_sum_p([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) > 0.9
     # disjoint samples: small p
     assert pr.rank_sum_p(list(range(10)), [v + 20 for v in range(10)]) < 0.01
+
+
+def test_distribution_addendum_reports_dispersion(tmp_path):
+    """Spread comparison (std + IQR ratios) prints descriptively — the
+    'oracle walks into bad basins more often?' half of the config-2
+    tail question, which location tests can't see."""
+    e = _write(tmp_path, "e.jsonl", [10.0, 10.1, 10.2, 10.3])
+    o = _write(tmp_path, "o.jsonl", [9.5, 10.1, 10.3, 11.0])
+    _rc, out = _run(e, o)
+    assert "dispersion: per-seed std engine" in out and "IQR" in out

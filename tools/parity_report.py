@@ -134,6 +134,19 @@ def main() -> int:
           f"({min(ev):.4g}); engine range [{min(ev):.4g}, {max(ev):.4g}], "
           f"oracle range [{min(ov):.4g}, {max(ov):.4g}]")
     if len(ev) > 1 and len(ov) > 1:
+        # Dispersion (descriptive, no p-value: anneal-final quality is
+        # right-skewed, so an F-test's normality premise fails): a spread
+        # ratio well above 1 with matching means/medians says the sides
+        # agree in location but one walks into bad basins more often.
+        es = stats(ev)[1]
+        osd = stats(ov)[1]
+        eq = sorted(ev)
+        oq = sorted(ov)
+        iqr = lambda s: s[(3 * len(s)) // 4] - s[len(s) // 4]  # noqa: E731
+        print(f"  dispersion: per-seed std engine {es:.3g} vs oracle "
+              f"{osd:.3g} (ratio {osd / es:.2f}), IQR {iqr(eq):.3g} vs "
+              f"{iqr(oq):.3g}"
+              + (f" (ratio {iqr(oq) / iqr(eq):.2f})" if iqr(eq) > 0 else ""))
         p = rank_sum_p(ev, ov)
         print(f"  rank-sum (Mann-Whitney, two-sided, tie-corrected): "
               f"p = {p:.3f} for 'same distribution'"
